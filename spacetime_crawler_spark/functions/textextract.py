@@ -1,0 +1,100 @@
+"""Pinned HTML → text and HTML → links extraction (SURVEY.md §2 rows F8/F9).
+
+THE text-extraction function below is the byte-identity contract
+(BASELINE.json input_hint: "byte-identical extracted text per url"): the
+synthetic `pages` generator writes `pages.text` with it, the engine's F9
+Arrow UDF wraps it, and the differential oracle calls it directly.  Any
+change here is a schema-breaking change to the whole pipeline.
+
+Only stdlib ``html.parser`` is used (no lxml/bs4 in the environment —
+SURVEY.md §0 env facts).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from spacetime_crawler_spark.functions.urlnorm import resolve_and_canonicalize
+
+_SKIP_CONTENT_TAGS = frozenset({"script", "style"})
+# Void elements never push onto the skip stack (they cannot contain text).
+_VOID_TAGS = frozenset(
+    {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+     "embed", "source", "track", "wbr"}
+)
+
+
+class _TextCollector(HTMLParser):
+    """Collects stripped, non-empty text nodes in document order, skipping
+    the contents of <script>/<style>."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self.chunks: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_CONTENT_TAGS and tag not in _VOID_TAGS:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_CONTENT_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        stripped = data.strip()
+        if stripped:
+            self.chunks.append(stripped)
+
+
+class _LinkCollector(HTMLParser):
+    """Collects <a href> values in document order (reference
+    scraper.py::extract_next_links shape)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag != "a":
+            return
+        for name, value in attrs:
+            if name == "href" and value is not None:
+                self.hrefs.append(value)
+                break
+
+
+def _decode(html: bytes | str | None) -> str:
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        return bytes(html).decode("utf-8", errors="replace")
+    return html
+
+
+def extract_text(html: bytes | str | None) -> str:
+    """PINNED SPEC (SURVEY.md §2 F9): decode UTF-8 (errors → U+FFFD), parse
+    with stdlib html.parser, drop <script>/<style> subtree text, then
+    ``'\\n'.join`` of the stripped non-empty text nodes in document order."""
+    parser = _TextCollector()
+    try:
+        parser.feed(_decode(html))
+        parser.close()
+    except Exception:
+        pass  # html.parser is lenient; belt-and-braces for hostile bytes
+    return "\n".join(parser.chunks)
+
+
+def extract_links(html: bytes | str | None, base_url: str) -> list[str]:
+    """PINNED SPEC (SURVEY.md §2 F8): every <a href> in document order,
+    resolved against the page URL (urljoin), defragmented + canonicalized.
+    Duplicates are preserved (dedup is F3's job); scheme filtering is F1's."""
+    parser = _LinkCollector()
+    try:
+        parser.feed(_decode(html))
+        parser.close()
+    except Exception:
+        pass
+    return [resolve_and_canonicalize(base_url, href) for href in parser.hrefs]
