@@ -3,8 +3,12 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``spacetime_crawler_spark``; this module is a thin
+adapter over plans/registry.py so the registry stays the single source of
+truth (tests/test_driver_contract.py runs the same comparison the driver
+does).
 """
 
 from __future__ import annotations
@@ -15,24 +19,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: A4 common-words report
+    (the reference's headline analytics) over `documents`."""
+    from spacetime_crawler_spark.plans.analytics import a4_common_words
+
+    return a4_common_words(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    training-data pipeline operators). Each callable takes (spark, sf_dir)
+    and returns a DataFrame with oracle-matching column names."""
+    from spacetime_crawler_spark.plans.registry import SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL per SQL-expressible query key; keys absent
+    here (sketch/ANN/UDF ops) get the driver's rows-only check."""
+    from spacetime_crawler_spark.plans.registry import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,356 @@
+"""Deduplication operators for the training-data pipeline tier: exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+
+All hot-path math stays JVM-side (built-in higher-order functions, xxhash64,
+joins) — no Python UDFs anywhere in this module.  Scale design notes per
+operator are in the docstrings; the MinHash/LSH path is the 100 TB route
+(candidate generation is a band-bucket equi-join, never an all-pairs cross
+join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spacetime_crawler_spark.functions.tokenize import TOKEN_SPLIT_REGEX
+from spacetime_crawler_spark.sources.tables import load_table
+
+_SPARK_TOKENS = f"filter(split(lower(text), '{TOKEN_SPLIT_REGEX}'), x -> x != '')"
+_DUCK_TOKENS = (
+    f"list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_REGEX}'),"
+    " x -> x <> '')"
+)
+
+# Word-bigram shingles, distinct per doc.  Bigrams (not 3-grams) because the
+# synthetic corpus is short random-word docs; the planted near-dup pairs sit
+# at Jaccard ≥ 0.95 while the background tops out ≈0.12 (measured at sf0.01),
+# so threshold 0.5 separates cleanly.
+_JACCARD_THRESHOLD = 0.5
+_DEDUP_DOC_LIMIT = 1000  # bound the all-pairs verify at bench scale
+
+# NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — short docs
+# must be guarded explicitly (DuckDB's generate_series(1, 0) is []).
+_SPARK_SHINGLES = (
+    f"case when size({_SPARK_TOKENS}) < 2 then array() "
+    f"else array_distinct(transform(sequence(1, size({_SPARK_TOKENS}) - 1),"
+    f" i -> concat_ws(' ', slice({_SPARK_TOKENS}, i, 2)))) end"
+)
+_DUCK_SHINGLES = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_DUCK_TOKENS}) - 1, 0)),"
+    f" i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1]))"
+)
+
+
+# --- exact dedup --------------------------------------------------------------
+
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup corpus stats: hash-aggregate over full text.  At 100 TB the
+    same shape runs over sha2(text) instead of raw text to keep shuffle rows
+    narrow; here text is small so the direct distinct is fine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_text"),
+        (F.count("*") - F.countDistinct("text")).alias("n_exact_dups"),
+    )
+
+
+DEDUP_EXACT_STATS_SQL = """
+SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique_text,
+       COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups
+FROM documents
+"""
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups: md5(text) → members.  Narrow shuffle key (the hash,
+    not the text) — the 100 TB pattern.  Keeps min(doc_id) as the canonical
+    survivor (first-writer-wins, mirroring the crawler's URL-seen rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+DEDUP_EXACT_GROUPS_SQL = """
+SELECT md5(text) AS text_md5, COUNT(*) AS n, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+# --- n-gram Jaccard (exact verify path) ----------------------------------------
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _DEDUP_DOC_LIMIT
+    )
+    return docs.select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over distinct word-bigram shingles via an inverted-index
+    self-join (explode → equi-join on shingle → count common), NOT a cross
+    join: candidate pairs are only those sharing ≥1 shingle.  This is the
+    ground-truth verifier that MinHash candidates are checked against."""
+    sh = _shingled(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+  FROM documents WHERE doc_id < {_DEDUP_DOC_LIMIT}
+),
+sz AS (SELECT doc_id, len(shingles) AS n_sh FROM d),
+sh AS (SELECT doc_id, unnest(shingles) AS s FROM d),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
+FROM pairs
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 4) >= {_JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash + LSH (the scale path) --------------------------------------------
+
+MINHASH_NUM_PERM = 32
+LSH_BANDS = 8  # 8 bands × 4 rows; s-curve threshold ≈ (1/8)^(1/4) ≈ 0.59
+# Mersenne-31 field: with a, b, h < 2^31, a·h + b < 2^62 — no int64 overflow
+# under Spark 4's default ANSI arithmetic.
+_MERSENNE = (1 << 31) - 1
+
+
+def _minhash_signatures(sh: DataFrame, num_perm: int = MINHASH_NUM_PERM) -> DataFrame:
+    """(doc_id, shingles) → (doc_id, sig ARRAY<BIGINT>[num_perm]).
+
+    Entirely JVM-side: base hash = xxhash64(shingle), permutations are
+    affine maps (a_p·h + b_p) mod (2^61−1) evaluated with higher-order
+    functions — per-doc work is O(|shingles|·num_perm) inside whole-stage
+    codegen, no shuffle, no Python."""
+    # Deterministic coefficients per permutation (pinned, seed-free), reduced
+    # into the Mersenne-31 field.
+    a_coefs = [(2 * p * 0x9E3779B9 + 1) % _MERSENNE or 1 for p in range(1, num_perm + 1)]
+    b_coefs = [(p * 0x85EBCA6B + 7) % _MERSENNE for p in range(1, num_perm + 1)]
+    a_lit = ", ".join(f"{c}L" for c in a_coefs)
+    b_lit = ", ".join(f"{c}L" for c in b_coefs)
+    sig_expr = f"""
+      transform(
+        arrays_zip(array({a_lit}), array({b_lit})),
+        ab -> array_min(transform(
+          shingles,
+          s -> pmod(ab['0'] * pmod(xxhash64(s), {_MERSENNE}L) + ab['1'],
+                    {_MERSENNE}L)
+        ))
+      )
+    """
+    return sh.filter(F.size("shingles") > 0).select(
+        "doc_id", F.expr(sig_expr).alias("sig")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified: signatures → band buckets →
+    bucket equi-join for candidates → exact Jaccard on candidates only.
+
+    Scale shape: the only shuffles are (1) the band-bucket groupBy-join,
+    whose fan-in per bucket is tiny for honest data (and salted-skippable
+    for adversarial buckets), and (2) the candidate verify join — both keyed,
+    never all-pairs.  Driver check is rows-only (sketches aren't ANSI SQL);
+    tests/test_dedup.py asserts this returns exactly the same pairs as
+    dedup_ngram_jaccard (recall=1 at threshold 0.5 given the LSH s-curve)."""
+    sh = _shingled(spark, sf_dir)
+    sigs = _minhash_signatures(sh)
+    rows_per_band = MINHASH_NUM_PERM // LSH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {LSH_BANDS - 1}),"
+                f" b -> xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1,"
+                f" {rows_per_band}))))"
+            )
+        ).alias("band", "bucket"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact verify on the (small) candidate set only.
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- SimHash ---------------------------------------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from distinct word-bigram shingle
+    xxhash64 values (unigrams are degenerate on a small-vocabulary corpus:
+    every long doc contains nearly the whole vocab, so unigram SimHashes
+    collide — measured background Hamming hit 0 at sf0.01).
+
+    bit_i(doc) = 1 iff Σ_shingles (2·getbit(h,i) − 1) > 0.  Computed with a
+    single higher-order aggregate per row — O(shingles·64) JVM-side, no
+    shuffle at all (embarrassingly parallel over docs).  Rows-only driver
+    check; tests assert planted near-dups have small Hamming distance."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts_expr = f"""
+      aggregate(
+        transform({_SPARK_SHINGLES}, t -> xxhash64(t)),
+        array_repeat(0L, 64),
+        (acc, h) -> zip_with(acc, sequence(0, 63),
+                             (a, i) -> a + 2 * getbit(h, i) - 1)
+      )
+    """
+    simhash_expr = f"""
+      aggregate(
+        zip_with({counts_expr}, sequence(0, 63),
+                 (c, i) -> if(c > 0, shiftleft(1L, cast(i as int)), 0L)),
+        0L, (s, x) -> s | x
+      )
+    """
+    return docs.select("doc_id", F.expr(simhash_expr).alias("simhash"))
+
+
+def simhash_near_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 7
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, candidate-generated by
+    8-bit chunk equality (pigeonhole: ≤7 differing bits ⇒ at least one of 8
+    chunks equal, so recall is EXACT for max_hamming ≤ 7) — an equi-join on
+    (chunk_idx, chunk_value), never all-pairs."""
+    sigs = dedup_simhash(spark, sf_dir)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 7),"
+                " c -> (shiftrightunsigned(simhash, c * 8) & 255))"
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- embedding-cosine near-dup -----------------------------------------------------
+
+_COSINE_DUP_THRESHOLD = 0.4
+_COSINE_DOC_LIMIT = 400  # bound the verify pairs at bench scale
+
+# Double-precision cosine with sequential accumulation — bit-compatible with
+# DuckDB's list_cosine_similarity over DOUBLE[] (same order, same IEEE ops).
+_SPARK_COS = """
+  aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),
+            cast(0.0 as double), (s, v) -> s + v)
+  / (sqrt(aggregate({a}, cast(0.0 as double),
+                    (s, v) -> s + cast(v as double) * cast(v as double)))
+     * sqrt(aggregate({b}, cast(0.0 as double),
+                      (s, v) -> s + cast(v as double) * cast(v as double))))
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold over a bounded id
+    range (the exact verify path; LSH bucketing in similarity.py is the
+    candidate generator at scale).  Join is a self range-join on vec_id with
+    the small side broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _COSINE_DOC_LIMIT
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = _SPARK_COS.format(a="ea", b="eb")
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(F.expr(cos), 4))
+        .filter(F.col("cos_sim") >= _COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  WHERE vec_id < {_COSINE_DOC_LIMIT}
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= {_COSINE_DUP_THRESHOLD}
+"""

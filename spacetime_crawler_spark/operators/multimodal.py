@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: image/audio/video as opaque BINARY columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The actual codec work (JPEG decode, audio resample, video frame-sample) is
+STUBBED — the sandbox has no image/audio libraries — but everything Spark
+cares about is real and tested: explicit schemas, binary Arrow transfer,
+batch-shaped UDF signatures, and deterministic fake feature extraction so
+the pipeline is end-to-end runnable.  Swap `_decode_image` for a PIL/ffmpeg
+call on a real cluster and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spacetime_crawler_spark.sources.tables import load_table
+
+FEATURE_DIM = 8
+
+BINARY_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("sha", T.StringType()),
+])
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("features", T.ArrayType(T.DoubleType())),
+])
+
+
+def _decode_image(data: bytes) -> "np.ndarray":
+    """REAL-CLUSTER HOOK: decode an image payload to HxWxC uint8.
+
+    No codec libraries exist in this sandbox, so decoding is explicitly not
+    implemented; the deterministic fake featurizer below exercises the same
+    Spark plumbing (binary Arrow batches in, fixed-size vectors out)."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv — not available in this environment"
+    )
+
+
+def _fake_features(data: bytes) -> list[float]:
+    """Deterministic stand-in featurizer: sha256 bytes → FEATURE_DIM doubles
+    in [0, 1).  Keeps the batch shape/latency profile of a real extractor."""
+    digest = hashlib.sha256(data).digest()
+    arr = np.frombuffer(digest[: FEATURE_DIM * 4], dtype=np.uint32)
+    return (arr.astype(np.float64) / np.float64(2**32)).round(6).tolist()
+
+
+def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text encoded to a BINARY payload column — the testdata
+    stand-in for an image/audio blob (real data: spark.read of WARC/tar
+    shards into the same (id, payload BINARY, meta...) shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over a binary column via mapInPandas: byte length +
+    sha256.  Arrow moves the binary batches; Python touches each buffer once.
+    DuckDB-verifiable because the payload is derived from text."""
+    payloads = _with_payload(spark, sf_dir)
+
+    def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "byte_len": pdf["payload"].map(len).astype("int64"),
+                "sha": pdf["payload"].map(
+                    lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                ),
+            })
+
+    return payloads.mapInPandas(meta_batches, schema=BINARY_META_SCHEMA)
+
+
+MULTIMODAL_BINARY_META_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS sha
+FROM documents
+"""
+
+
+def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing demo: binary payload → fixed-dim vector
+    via the deterministic fake featurizer (decode stub documented above).
+    Rows-only driver check; unit tests pin determinism + dimensionality."""
+    payloads = _with_payload(spark, sf_dir)
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = pdf["payload"].map(bytes)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "byte_len": raw.map(len).astype("int64"),
+                "features": raw.map(_fake_features),
+            })
+
+    return payloads.mapInPandas(feature_batches, schema=FEATURES_SCHEMA)

@@ -1,0 +1,178 @@
+"""Text-analysis operators for the training-data tier: quality scoring,
+token statistics, language ID (n-gram/markers heuristic), and document
+fingerprinting — all pure column expressions (no UDFs, fully codegen'd).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spacetime_crawler_spark.functions.tokenize import (
+    STOPWORDS,
+    TOKEN_SPLIT_REGEX,
+    sql_stopword_list,
+)
+from spacetime_crawler_spark.sources.tables import load_table
+
+_SPARK_TOKENS = f"filter(split(lower(text), '{TOKEN_SPLIT_REGEX}'), x -> x != '')"
+_DUCK_TOKENS = (
+    f"list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_REGEX}'),"
+    " x -> x <> '')"
+)
+
+
+# --- quality scoring ----------------------------------------------------------
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals (length, stopword ratio, alnum ratio, mean
+    token length) + a boolean keep-flag — the C4/Gopher-style rule shape.
+    Single narrow projection; at 100 TB this is a map-only stage that
+    filters before any shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({_SPARK_TOKENS})").alias("n_tokens"),
+        F.round(
+            F.expr(
+                f"size(filter({_SPARK_TOKENS}, t -> t IN ({stop_list})))"
+                f" / greatest(size({_SPARK_TOKENS}), 1)"
+            ),
+            4,
+        ).alias("stop_ratio"),
+        F.round(
+            F.expr(
+                "length(regexp_replace(text, '[^a-zA-Z0-9]', ''))"
+                " / greatest(length(text), 1)"
+            ),
+            4,
+        ).alias("alnum_ratio"),
+        F.round(
+            F.expr(
+                f"aggregate({_SPARK_TOKENS}, 0L, (a, t) -> a + length(t))"
+                f" / greatest(size({_SPARK_TOKENS}), 1)"
+            ),
+            4,
+        ).alias("avg_tok_len"),
+    ).withColumn(
+        "keep",
+        (
+            (F.col("n_tokens") >= 5)
+            & (F.col("stop_ratio") <= 0.6)
+            & (F.col("avg_tok_len") >= 2)
+        ).cast("int"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {_DUCK_TOKENS} AS w FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS INT) AS n_tokens,
+         ROUND(len(list_filter(w, x -> x IN ({sql_stopword_list()}))) * 1.0
+               / GREATEST(len(w), 1), 4) AS stop_ratio,
+         ROUND(LENGTH(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) * 1.0
+               / GREATEST(LENGTH(text), 1), 4) AS alnum_ratio,
+         ROUND(list_sum(list_transform(w, x -> LENGTH(x))) * 1.0
+               / GREATEST(len(w), 1), 4) AS avg_tok_len
+  FROM t
+)
+SELECT doc_id, n_tokens, stop_ratio, alnum_ratio, avg_tok_len,
+       CAST(n_tokens >= 5 AND stop_ratio <= 0.6 AND avg_tok_len >= 2 AS INT) AS keep
+FROM m
+"""
+
+
+# --- corpus token statistics ----------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.expr(f"size({_SPARK_TOKENS})").alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_TOKEN_STATS_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len({_DUCK_TOKENS})) AS BIGINT) AS total_tokens,
+       ROUND(AVG(len({_DUCK_TOKENS})), 4) AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# --- language ID heuristic -------------------------------------------------------
+
+# Tiny pinned marker-word lists per language.  Real lang-ID would use char
+# n-gram profiles; the heuristic keeps the same dataflow shape (score per
+# (doc, lang), argmax) with a deterministic tie-break.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "with"),
+    "es": ("el", "la", "de", "que", "los", "una", "por", "con"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "zh": ("de5", "shi4", "bu4", "le5", "wo3", "zai4", "you3", "he2"),
+}
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-hit-count language ID: score(doc, lang) = |tokens ∩ markers|,
+    predict argmax (ties → 'und' unless zero hits everywhere → 'und').
+    Rows-only driver check; unit-tested on handcrafted snippets."""
+    docs = load_table(spark, sf_dir, "documents")
+    score_cols = [
+        F.expr(
+            f"size(filter(array_distinct({_SPARK_TOKENS}),"
+            f" t -> t IN ({', '.join(repr(m) for m in markers)})))"
+        ).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = docs.select("doc_id", *score_cols)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    # argmax with pinned tie-break = dict order of LANG_MARKERS
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select("doc_id", pred.alias("pred_lang"), best.alias("n_hits"))
+
+
+# --- document fingerprint ----------------------------------------------------------
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling (Karp–Rabin-style) fingerprint of the token
+    stream: v(tok) = ascii(first char)·1000003 + len(tok);
+    fp = foldl(tokens, 0, (acc, v) → (acc·131 + v) mod (2^31−1)).
+    Same fold in Spark `aggregate` and DuckDB `list_reduce` — value-checked
+    by the oracle, which pins cross-engine determinism of the fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp_expr = f"""
+      aggregate(
+        transform({_SPARK_TOKENS},
+                  t -> cast(ascii(substring(t, 1, 1)) as bigint) * 1000003
+                       + length(t)),
+        0L, (acc, v) -> (acc * 131 + v) % 2147483647
+      )
+    """
+    return docs.select("doc_id", F.expr(fp_expr).alias("fingerprint"))
+
+
+TEXT_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({_DUCK_TOKENS},
+             t -> CAST(ascii(substr(t, 1, 1)) AS BIGINT) * 1000003
+                  + LENGTH(t))),
+         (acc, v) -> (acc * 131 + v) % 2147483647
+       ) AS fingerprint
+FROM documents
+"""

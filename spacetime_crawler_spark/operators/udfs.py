@@ -1,0 +1,65 @@
+"""The engine's ONLY Python↔JVM crossings: four Arrow-batched pandas UDFs
+wrapping the pinned pure functions (BASELINE.json input_hint: vectorized
+pandas/Arrow UDFs, no per-row Python — i.e. no F.udf anywhere).
+
+Everything else in the crawl pipeline is native Spark expressions so it
+stays inside whole-stage codegen and remains pushdown-friendly (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spacetime_crawler_spark.functions.robots import parse_robots
+from spacetime_crawler_spark.functions.textextract import extract_links, extract_text
+from spacetime_crawler_spark.functions.urlnorm import canonicalize_url
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    """F2 — canonical URL form (SURVEY §2 F2; reference utils.normalize)."""
+    return urls.map(canonicalize_url)
+
+
+@F.pandas_udf(T.StringType())
+def text_extract_udf(html: pd.Series) -> pd.Series:
+    """F9 — html bytes → text, byte-identical to pages.text (the pinned
+    extract_text; SURVEY §2 F9)."""
+    return html.map(extract_text)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def link_extract_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    """F8 — html bytes + page url → absolute canonicalized hrefs in document
+    order (reference scraper.extract_next_links; SURVEY §2 F8)."""
+    return pd.Series(
+        [extract_links(h, b) for h, b in zip(html, base_url)]
+    )
+
+
+_ROBOTS_SCHEMA = T.StructType([
+    T.StructField("crawl_delay", T.DoubleType()),
+    T.StructField(
+        "rules",
+        T.ArrayType(
+            T.StructType([
+                T.StructField("allow", T.BooleanType()),
+                T.StructField("prefix", T.StringType()),
+            ])
+        ),
+    ),
+])
+
+
+@F.pandas_udf(_ROBOTS_SCHEMA)
+def robots_parse_udf(body: pd.Series) -> pd.DataFrame:
+    """F6 — robots.txt body → (crawl_delay, [(allow, prefix)...]) per the
+    pinned parse (functions/robots.py)."""
+    delays, rules_col = [], []
+    for b in body:
+        delay, rules = parse_robots(b)
+        delays.append(delay)
+        rules_col.append([{"allow": a, "prefix": p} for a, p in rules])
+    return pd.DataFrame({"crawl_delay": delays, "rules": rules_col})

@@ -1,0 +1,336 @@
+"""The distributed URL-frontier crawl loop (SURVEY.md §3.2) — one BSP round
+per driver iteration, all state in committed tables.
+
+Dataflow per round (SURVEY §3.2):
+
+    frontier ──F6 gate (robots bcast join)── F7 schedule ── selected
+    selected ──F5 fetch-join pages_latest (hash-keyed) ── fetched (persist)
+    fetched ──F9 text UDF──► fetch_log sink
+    fetched ──F8 link UDF ── explode ── F1 native filter
+            ──F3 dedup (bloom bcast prefilter → exact anti-join vs seen)
+            ──F11 merge leftover ──► frontier′, seen′, bloom′ sinks
+
+Scale levers baked in (SURVEY §4): F1 stays native (pushable); the fetch
+join is keyed on xxhash64(url_norm) (narrow shuffle key, AQE skew-join
+handles hot hosts); robots/bloom sidecars are broadcasts; the per-host
+scheduler is two-phase-ranked then applyInPandas on quota-bounded groups;
+`seen` and candidates are both repartitioned by pmod(url_hash, P) so the
+anti-join co-partitions (with Iceberg bucket(P) this shuffle disappears
+entirely).  Lineage never spans rounds — every round re-reads committed
+state, the Spark analogue of the reference's save-file sync.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spacetime_crawler_spark.operators import bloom
+from spacetime_crawler_spark.operators.politeness import (
+    build_robots_rules,
+    leftover_after_schedule,
+    robots_gate,
+    schedule_round,
+)
+from spacetime_crawler_spark.operators.udfs import (
+    canonicalize_udf,
+    link_extract_udf,
+    text_extract_udf,
+)
+from spacetime_crawler_spark.functions.urlnorm import BLACKLIST_RLIKE
+from spacetime_crawler_spark.sources.io_tables import ParquetManifestIO
+
+FRONTIER_COLS = ("url_norm", "url_hash", "h2", "host", "depth")
+
+
+@dataclass
+class CrawlConfig:
+    state_dir: str
+    rounds: int = 4
+    round_budget_s: float = 30.0
+    n_parts: int = 32
+    use_bloom: bool = True
+    allowed_host_suffixes: tuple[str, ...] = ()
+
+
+@dataclass
+class RoundMetrics:
+    round: int
+    urls_selected: int = 0
+    urls_fetched_ok: int = 0
+    urls_404: int = 0
+    candidates: int = 0
+    bloom_skipped: int = 0
+    urls_new: int = 0
+    wall_s: float = 0.0
+
+
+@dataclass
+class CrawlRun:
+    io: ParquetManifestIO
+    metrics: list[RoundMetrics] = field(default_factory=list)
+    rounds_run: int = 0
+
+
+def _with_keys(df: DataFrame, url_col: str = "url_norm") -> DataFrame:
+    """Attach the two JVM hashes every downstream stage keys on:
+    url_hash = xxhash64 (64-bit working key), h2 = murmur3_x86_32
+    (BASELINE.json north_star's murmur3; bloom double-hash second arm)."""
+    return df.withColumn("url_hash", F.xxhash64(url_col)).withColumn(
+        "h2", F.hash(url_col)
+    )
+
+
+def _is_valid_expr(url_col: str, allowed_suffixes: tuple[str, ...]) -> F.Column:
+    """F1 as NATIVE column expressions (no UDF → Catalyst can push/fold it):
+    scheme whitelist + extension-blacklist rlike + optional host suffix."""
+    scheme_ok = F.parse_url(F.col(url_col), F.lit("PROTOCOL")).isin("http", "https")
+    path = F.lower(F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("")))
+    ext_ok = ~path.rlike(BLACKLIST_RLIKE)
+    host = F.lower(F.coalesce(F.parse_url(F.col(url_col), F.lit("HOST")), F.lit("")))
+    cond = scheme_ok & ext_ok & (host != "")
+    if allowed_suffixes:
+        suffix_ok = F.lit(False)
+        for s in allowed_suffixes:
+            suffix_ok = suffix_ok | (host == s) | host.endswith("." + s)
+        cond = cond & suffix_ok
+    return cond
+
+
+def prepare_pages(spark: SparkSession, pages: DataFrame) -> DataFrame:
+    """One-time pages prep: canonicalize stored urls (F2 — some captures are
+    stored under noise variants), keep the LATEST capture per canonical url
+    (as-of, F5), attach join keys.  At scale this lands bucketed-by-url_hash
+    (Iceberg bucket(256, url)) so every round's fetch join is co-partitioned."""
+    canon = pages.withColumn("url_norm", canonicalize_udf("url"))
+    latest = (
+        canon.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("url_norm").orderBy(F.desc("warc_ts"), F.asc("url"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return _with_keys(latest.select("url_norm", "warc_ts", "html"))
+
+
+def init_frontier(spark: SparkSession, seeds: list[str],
+                  cfg: CrawlConfig) -> tuple[DataFrame, DataFrame]:
+    """Seeds → (frontier, seen) at round 0 (admission-at-discovery, like the
+    reference's add_url)."""
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "url string")
+    canon = (
+        seed_df.withColumn("url_norm", canonicalize_udf("url"))
+        .filter(_is_valid_expr("url_norm", cfg.allowed_host_suffixes))
+        .select("url_norm")
+        .distinct()
+    )
+    frontier = _with_keys(canon).withColumn(
+        "host", F.lower(F.parse_url("url_norm", F.lit("HOST")))
+    ).withColumn("depth", F.lit(0))
+    seen = frontier.select("url_norm", "url_hash", "h2").withColumn(
+        "round_seen", F.lit(0)
+    )
+    return frontier.select(*FRONTIER_COLS), seen
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: list[str],
+    cfg: CrawlConfig,
+    resume: bool = False,
+) -> CrawlRun:
+    io = ParquetManifestIO(cfg.state_dir)
+    run = CrawlRun(io=io)
+
+    pages_latest = prepare_pages(spark, pages).repartition(
+        cfg.n_parts, "url_hash"
+    ).persist()
+    robots_rules = build_robots_rules(pages).persist()
+    robots_rules.count()  # materialize the small side once
+
+    start_round = 0
+    if resume:
+        last = io.last_committed_round("frontier")
+        if last is not None:
+            start_round = last
+    if start_round == 0:
+        frontier, seen = init_frontier(spark, seeds, cfg)
+        io.write("frontier", 0, frontier)
+        io.write("seen", 0, seen.repartition(cfg.n_parts, "url_hash"))
+        io.commit(0, {"frontier": frontier.count(), "seen": seen.count()})
+
+    for rnd in range(start_round + 1, cfg.rounds + 1):
+        t0 = time.monotonic()
+        m = RoundMetrics(round=rnd)
+        frontier = io.read(spark, "frontier", rnd - 1)
+        seen = io.read(spark, "seen", rnd - 1)
+        if frontier.isEmpty():
+            break
+
+        # F6 + F7 — gate and schedule
+        gated = robots_gate(frontier, robots_rules).persist()
+        selected = schedule_round(gated, cfg.round_budget_s).persist()
+        m.urls_selected = selected.count()
+        leftover = leftover_after_schedule(gated, selected)
+
+        # F5 — fetch join against prepared pages, keyed on (url_hash, url_norm)
+        fetched = (
+            selected.repartition(cfg.n_parts, "url_hash")
+            .join(pages_latest, ["url_hash", "url_norm"], "left")
+            .withColumn(
+                "status",
+                F.when(F.col("html").isNull(), F.lit(404)).otherwise(F.lit(200)),
+            )
+            .persist()
+        )
+
+        # F9 — text extraction (the byte-identity invariant) + lineage sink
+        fetch_log = fetched.select(
+            F.lit(rnd).alias("round"),
+            F.spark_partition_id().alias("part_id"),
+            "host",
+            "url_norm",
+            "url_hash",
+            "depth",
+            "fetch_seq",
+            "due_s",
+            "status",
+            F.when(
+                F.col("status") == 200,
+                F.sha2(text_extract_udf("html"), 256),
+            ).alias("text_sha256"),
+            F.when(F.col("status") == 200, F.length("html"))
+            .otherwise(F.lit(0))
+            .alias("content_len"),
+        )
+        io.write("fetch_log", rnd, fetch_log)
+
+        m.urls_fetched_ok = fetched.filter("status = 200").count()
+        m.urls_404 = m.urls_selected - m.urls_fetched_ok
+
+        # F8 → F1 — link extraction (canonicalized inside the UDF) + native filter
+        links = (
+            fetched.filter("status = 200")
+            .select(
+                "depth",
+                F.explode(link_extract_udf("html", "url_norm")).alias("link"),
+            )
+            .filter(_is_valid_expr("link", cfg.allowed_host_suffixes))
+        )
+        # within-batch collapse: one row per url, min discovery depth
+        candidates = _with_keys(
+            links.groupBy(F.col("link").alias("url_norm")).agg(
+                (F.min("depth") + 1).alias("depth")
+            )
+        )
+        m.candidates = candidates.count()
+
+        # F3 — bloom prefilter (definite-negatives skip the exact anti-join),
+        # then exact left_anti vs seen, both sides partitioned by url_hash.
+        if cfg.use_bloom and m.candidates > 0:
+            sidecar = bloom.collect_sidecar(
+                bloom.build_bloom_sidecar(seen, cfg.n_parts)
+            )
+            maybe_seen_udf = bloom.make_maybe_seen_udf(spark, sidecar, cfg.n_parts)
+            flagged = candidates.withColumn(
+                "maybe_seen", maybe_seen_udf("url_hash", "h2")
+            ).persist()
+            definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            to_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+            m.bloom_skipped = m.candidates - to_check.count()
+            checked_new = to_check.repartition(cfg.n_parts, "url_hash").join(
+                seen.repartition(cfg.n_parts, "url_hash"),
+                ["url_hash", "url_norm"],
+                "left_anti",
+            )
+            new_urls = definitely_new.unionByName(checked_new)
+        else:
+            new_urls = candidates.repartition(cfg.n_parts, "url_hash").join(
+                seen.repartition(cfg.n_parts, "url_hash"),
+                ["url_hash", "url_norm"],
+                "left_anti",
+            )
+
+        new_frontier_rows = new_urls.withColumn(
+            "host", F.lower(F.parse_url("url_norm", F.lit("HOST")))
+        ).select(*FRONTIER_COLS).persist()
+        m.urls_new = new_frontier_rows.count()
+
+        # F11 — merge: leftover ∪ newly discovered (min depth per url)
+        next_frontier = (
+            leftover.select(*FRONTIER_COLS)
+            .unionByName(new_frontier_rows)
+            .groupBy("url_norm", "url_hash", "h2", "host")
+            .agg(F.min("depth").alias("depth"))
+            .select(*FRONTIER_COLS)
+        )
+        next_seen = seen.unionByName(
+            new_frontier_rows.select("url_norm", "url_hash", "h2").withColumn(
+                "round_seen", F.lit(rnd)
+            )
+        )
+
+        io.write("frontier", rnd, next_frontier)
+        io.write("seen", rnd, next_seen.repartition(cfg.n_parts, "url_hash"))
+        # count from the files just written — never recompute round lineage
+        n_frontier = io.read_uncommitted(spark, "frontier", rnd).count()
+        m.wall_s = time.monotonic() - t0
+        io.commit(rnd, {
+            "frontier": n_frontier,
+            "seen": m.urls_new,  # delta count; snapshot is full
+            "fetch_log": m.urls_selected,
+        })
+        run.metrics.append(m)
+        run.rounds_run = rnd
+
+        # write per-round metrics (F12)
+        metrics_df = spark.createDataFrame(
+            [(m.round, m.urls_selected, m.urls_fetched_ok, m.urls_404,
+              m.candidates, m.bloom_skipped, m.urls_new, m.wall_s)],
+            "round int, urls_selected long, urls_fetched_ok long, urls_404 long,"
+            " candidates long, bloom_skipped long, urls_new long, wall_s double",
+        )
+        io.write("metrics", rnd, metrics_df)
+        io.commit(rnd, {"metrics": 1})
+
+        for df in (gated, selected, fetched, new_frontier_rows):
+            df.unpersist()
+        if n_frontier == 0:
+            break
+
+    pages_latest.unpersist()
+    robots_rules.unpersist()
+    return run
+
+
+# --- result readers (shared by tests / bench / analytics) ----------------------
+
+def read_fetch_log(spark: SparkSession, io: ParquetManifestIO,
+                   up_to_round: int) -> DataFrame:
+    dfs = []
+    for rnd in range(1, up_to_round + 1):
+        if io.last_committed_round("fetch_log") is not None:
+            try:
+                dfs.append(io.read(spark, "fetch_log", rnd))
+            except FileNotFoundError:
+                break
+    if not dfs:
+        raise FileNotFoundError("no committed fetch_log rounds")
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def read_seen(spark: SparkSession, io: ParquetManifestIO) -> DataFrame:
+    last = io.last_committed_round("seen")
+    if last is None:
+        raise FileNotFoundError("no committed seen rounds")
+    return io.read(spark, "seen", last)

@@ -1,0 +1,91 @@
+"""Single source of truth for the driver contract: every implemented
+operator's (spark, sf_dir) -> DataFrame builder, and the DuckDB oracle SQL
+for the SQL-expressible ones (rows-only driver check otherwise).
+
+Keys follow SURVEY.md §2 row IDs (groups A/F/G) plus the training-data
+pipeline operators (dedup_* / sim_* / text_* / multimodal_*).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spacetime_crawler_spark.operators import dedup, multimodal, similarity, textstats
+from spacetime_crawler_spark.plans import analytics
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+SPARK_QUERIES: dict[str, QueryFn] = {
+    # Group A — report analytics
+    "a1_unique_pages": analytics.a1_unique_pages,
+    "a1_approx_unique_pages": analytics.a1_approx_unique_pages,
+    "a2_subdomain_histogram": analytics.a2_subdomain_histogram,
+    "a3_longest_page": analytics.a3_longest_page,
+    "a4_common_words": analytics.a4_common_words,
+    "a5_crawl_depth_stats": analytics.a5_crawl_depth_stats,
+    "a6_host_link_graph": analytics.a6_host_link_graph,
+    # Group F demos over testdata
+    "f1_urlfilter_is_valid": analytics.f1_urlfilter_is_valid,
+    "f3_urlseen_dedup": analytics.f3_urlseen_dedup,
+    "f4_topk_per_key": analytics.f4_topk_per_key,
+    "f5_asof_latest": analytics.f5_asof_latest,
+    "f11_union_dedup": analytics.f11_union_dedup,
+    # Group G — general operator surface
+    "g_json_extract": analytics.g_json_extract,
+    "g_cube_events": analytics.g_cube_events,
+    "g_string_funcs": analytics.g_string_funcs,
+    "g_datetime_bucket": analytics.g_datetime_bucket,
+    "g_window_running": analytics.g_window_running,
+    # Training-data pipeline — dedup
+    "dedup_exact_stats": dedup.dedup_exact_stats,
+    "dedup_exact_groups": dedup.dedup_exact_groups,
+    "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "dedup_simhash": dedup.dedup_simhash,
+    "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+    # Training-data pipeline — similarity search
+    "sim_topk_bruteforce": similarity.sim_topk_bruteforce,
+    "sim_ann_buckets": similarity.sim_ann_buckets,
+    "sim_ann_lsh": similarity.sim_ann_lsh,
+    # Training-data pipeline — text analysis
+    "text_quality_score": textstats.text_quality_score,
+    "text_token_stats": textstats.text_token_stats,
+    "text_langid": textstats.text_langid,
+    "text_fingerprint": textstats.text_fingerprint,
+    # Training-data pipeline — multimodal plumbing
+    "multimodal_binary_meta": multimodal.multimodal_binary_meta,
+    "multimodal_fake_features": multimodal.multimodal_fake_features,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "a1_unique_pages": analytics.A1_SQL,
+    "a2_subdomain_histogram": analytics.A2_SQL,
+    "a3_longest_page": analytics.A3_SQL,
+    "a4_common_words": analytics.A4_SQL,
+    "a5_crawl_depth_stats": analytics.A5_SQL,
+    "a6_host_link_graph": analytics.A6_SQL,
+    "f1_urlfilter_is_valid": analytics.F1_SQL,
+    "f3_urlseen_dedup": analytics.F3_SQL,
+    "f4_topk_per_key": analytics.F4_SQL,
+    "f5_asof_latest": analytics.F5_SQL,
+    "f11_union_dedup": analytics.F11_SQL,
+    "g_json_extract": analytics.G_JSON_SQL,
+    "g_cube_events": analytics.G_CUBE_SQL,
+    "g_string_funcs": analytics.G_STRING_SQL,
+    "g_datetime_bucket": analytics.G_DATETIME_SQL,
+    "g_window_running": analytics.G_WINDOW_SQL,
+    "dedup_exact_stats": dedup.DEDUP_EXACT_STATS_SQL,
+    "dedup_exact_groups": dedup.DEDUP_EXACT_GROUPS_SQL,
+    "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_embedding_cosine": dedup.DEDUP_EMBEDDING_COSINE_SQL,
+    "sim_topk_bruteforce": similarity.SIM_TOPK_SQL,
+    "text_quality_score": textstats.TEXT_QUALITY_SQL,
+    "text_token_stats": textstats.TEXT_TOKEN_STATS_SQL,
+    "text_fingerprint": textstats.TEXT_FINGERPRINT_SQL,
+    "multimodal_binary_meta": multimodal.MULTIMODAL_BINARY_META_SQL,
+    # rows-only (non-SQL-expressible): a1_approx_unique_pages (HLL sketch),
+    # dedup_minhash_lsh / dedup_simhash (hash sketches), sim_ann_* (ANN),
+    # text_langid (heuristic argmax), multimodal_fake_features (UDF featurizer)
+}

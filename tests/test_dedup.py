@@ -1,0 +1,78 @@
+"""Semantic tests for the non-SQL-expressible dedup operators: MinHash+LSH
+recall vs the exact Jaccard baseline, SimHash locality."""
+
+from __future__ import annotations
+
+import pytest
+
+from spacetime_crawler_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    rows = dedup.dedup_ngram_jaccard(spark, SF_DIR).collect()
+    return {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+
+
+def test_planted_near_dups_exist(exact_pairs):
+    # The synthetic corpus plants near-dup pairs ≥ the threshold; if this
+    # fails the downstream recall tests would be vacuous.
+    assert len(exact_pairs) >= 1
+
+
+def test_minhash_lsh_matches_exact(spark, exact_pairs):
+    """At threshold 0.5 with 8 bands × 4 rows the LSH s-curve catch
+    probability is ≥ 1−(1−0.5⁴)⁸ ≈ 0.40 per pair — but the planted pairs sit
+    at J ≥ 0.95 (catch prob ≥ 1−(1−0.95⁴)⁸ ≈ 0.9999998), so requiring exact
+    set equality is statistically safe AND the verify step guarantees no
+    false positives."""
+    lsh_rows = dedup.dedup_minhash_lsh(spark, SF_DIR).collect()
+    lsh_pairs = {(r.doc_a, r.doc_b): r.jaccard for r in lsh_rows}
+    assert set(lsh_pairs) == set(exact_pairs)
+    for pair, j in lsh_pairs.items():
+        assert abs(j - exact_pairs[pair]) < 1e-9
+
+
+def test_simhash_deterministic_and_locality(spark, exact_pairs):
+    sigs = {r.doc_id: r.simhash for r in dedup.dedup_simhash(spark, SF_DIR).collect()}
+    sigs2 = {r.doc_id: r.simhash for r in dedup.dedup_simhash(spark, SF_DIR).collect()}
+    assert sigs == sigs2
+    # near-dup docs must be closer in Hamming space than the corpus median
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    near = [hamming(sigs[a], sigs[b]) for (a, b) in exact_pairs]
+    ids = sorted(sigs)[:60]
+    background = [
+        hamming(sigs[ids[i]], sigs[ids[j]])
+        for i in range(0, 50, 5)
+        for j in range(i + 1, 50, 7)
+        if (ids[i], ids[j]) not in exact_pairs
+    ]
+    assert max(near) < sorted(background)[len(background) // 2]
+
+
+def test_simhash_near_pairs_exact_within_radius(spark, exact_pairs):
+    """The 8×8-bit chunk candidate join guarantees EXACT recall for Hamming
+    ≤ 7 (pigeonhole) — verify against brute force over the signatures, and
+    that the radius-7 pairs are dominated by planted near-dups."""
+    sigs = {r.doc_id: r.simhash for r in dedup.dedup_simhash(spark, SF_DIR).collect()}
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(sigs[a], sigs[b]) <= 7
+    }
+    pairs = dedup.simhash_near_pairs(spark, SF_DIR).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert found == brute
+    # most radius-7 pairs are the planted near-dups (background min was 16)
+    assert found <= set(exact_pairs)
+    assert len(found) >= len(exact_pairs) // 2

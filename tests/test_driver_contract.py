@@ -1,0 +1,52 @@
+"""Runs the exact comparison the driver runs: every queries() entry at
+sf0.01, against oracle_sql() in DuckDB where defined, rows-only otherwise
+(SURVEY.md §5.5)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tests.oracle_harness import compare, duck_connection  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["word", "n"]
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_vs_oracle(name, spark, duck):
+    df = QUERIES[name](spark, SF_DIR)
+    if name in ORACLES:
+        oracle_pdf = duck.sql(ORACLES[name]).df()
+        problems = compare(df, oracle_pdf)
+        assert not problems, f"{name}: " + " | ".join(problems)
+    else:
+        # rows-only check (what the driver records for non-SQL ops)
+        n = df.count()
+        assert n >= 0
+        assert len(df.columns) > 0
