@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Benchmark entrypoint (driver contract + BASELINE.md B7–B9 protocol).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "crawl": {<throughput + scaling-efficiency evidence>}}
+
+Two sections:
+1. Headline operator queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+   local[$SPARK_GRAFT_CPUS] — per-query wall seconds.
+2. The crawl-engine scaling run (the BASELINE.json north_rule metric):
+   the SAME synthetic world + seeds + politeness budget crawled at
+   local[N_SMALL] and local[N_BIG] (sandbox stand-in for N vs 4N
+   executors); reports URLs fetched+deduped/sec at both sizes and
+   efficiency = (T_small / T_big) / (big/small), with a byte-identical
+   output gate between the two runs.  Set SPARK_GRAFT_SKIP_CRAWL_BENCH=1
+   to emit only section 1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "20000"))
+CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_CRAWL_ROUNDS", "3"))
+CRAWL_BUDGET = float(os.environ.get("SPARK_GRAFT_CRAWL_BUDGET", "60"))
+SMALL_CPUS = max(2, CPUS // 4)
+
+HEADLINE = [
+    "a4_common_words",
+    "a6_host_link_graph",
+    "f4_topk_per_key",
+    "g_window_running",
+    "dedup_exact_stats",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_quality_score",
+    "multimodal_binary_meta",
+]
+
+
+def bench_queries() -> tuple[dict[str, float], float]:
+    from spacetime_crawler_spark.plans.registry import SPARK_QUERIES
+    from spacetime_crawler_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="bench-queries")
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = SPARK_QUERIES[name]
+        t0 = time.monotonic()
+        n = fn(spark, SF_DIR).count()  # full execution; count forces the plan
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+    spark.stop()
+    return timings, total
+
+
+def _crawl_once(master: str, pages_dir: str, seeds: list[str], state_dir: str):
+    from spacetime_crawler_spark.plans import crawl as crawl_mod
+    from spacetime_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from spacetime_crawler_spark.session import get_spark
+
+    spark = get_spark(master=master, app_name=f"bench-crawl-{master}")
+    pages = spark.read.parquet(pages_dir)
+    cfg = CrawlConfig(
+        state_dir=state_dir, rounds=CRAWL_ROUNDS, round_budget_s=CRAWL_BUDGET
+    )
+    t0 = time.monotonic()
+    run = run_crawl(spark, pages, seeds, cfg)
+    wall = time.monotonic() - t0
+    fetched = sum(m.urls_selected for m in run.metrics)
+    candidates = sum(m.candidates for m in run.metrics)
+    new = sum(m.urls_new for m in run.metrics)
+    seen = sorted(
+        (r.url_norm, r.round_seen)
+        for r in crawl_mod.read_seen(spark, run.io).collect()
+    )
+    log = sorted(
+        (r.round, r.host, r.fetch_seq, r.url_norm, r.text_sha256)
+        for r in crawl_mod.read_fetch_log(spark, run.io, run.rounds_run).collect()
+    )
+    spark.stop()
+    return {
+        "wall_s": wall,
+        "urls_fetched": fetched,
+        "candidates_deduped": candidates,
+        "urls_new": new,
+        "throughput": (fetched + candidates) / wall if wall else 0.0,
+        "state": (tuple(seen), tuple(log)),
+    }
+
+
+def bench_crawl(tmp_root: str) -> dict:
+    from spacetime_crawler_spark.session import get_spark
+    from spacetime_crawler_spark.sources import synth
+
+    p = synth.world("small", n_pages=CRAWL_PAGES)
+    seeds = synth.seed_urls(p)
+    pages_dir = os.path.join(tmp_root, "pages")
+
+    # materialize once; generation excluded from timings (BASELINE.md §proto)
+    spark = get_spark(master=f"local[{CPUS}]", app_name="bench-gen")
+    synth.write_pages_parquet(spark, p, pages_dir)
+    spark.stop()
+
+    small = _crawl_once(
+        f"local[{SMALL_CPUS}]", pages_dir, seeds, os.path.join(tmp_root, "s_small")
+    )
+    big = _crawl_once(
+        f"local[{CPUS}]", pages_dir, seeds, os.path.join(tmp_root, "s_big")
+    )
+    identical = small["state"] == big["state"]
+    ratio = CPUS / SMALL_CPUS
+    efficiency = (small["wall_s"] / big["wall_s"]) / ratio if big["wall_s"] else 0.0
+    out = {
+        "world_pages": CRAWL_PAGES,
+        "rounds": CRAWL_ROUNDS,
+        "round_budget_s": CRAWL_BUDGET,
+        "cores_small": SMALL_CPUS,
+        "cores_big": CPUS,
+        "outputs_identical": identical,
+        "urls_fetched": big["urls_fetched"],
+        "candidates_deduped": big["candidates_deduped"],
+        "urls_per_sec_small": round(small["throughput"], 1),
+        "urls_per_sec_big": round(big["throughput"], 1),
+        "wall_s_small": round(small["wall_s"], 2),
+        "wall_s_big": round(big["wall_s"], 2),
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    return out
+
+
+def main() -> None:
+    timings, total = bench_queries()
+    result = {
+        "metric": "headline operator suite + crawl URLs fetched+deduped/sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+    }
+    if not os.environ.get("SPARK_GRAFT_SKIP_CRAWL_BENCH"):
+        import tempfile
+
+        with tempfile.TemporaryDirectory(prefix="scs_bench_") as tmp:
+            result["crawl"] = bench_crawl(tmp)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the crawl engine (SURVEY.md §7 M8).
+
+Cluster:
+    zip -r cr.zip spacetime_crawler_spark
+    spark-submit --master <cluster> --py-files cr.zip \\
+        [--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \\
+         --conf spark.sql.catalog.cr=org.apache.iceberg.spark.SparkCatalog ...] \\
+        run.py --pages <table-or-path> --state-dir <path> --rounds 10
+
+Sandbox (local mode):
+    python run.py --synth small --rounds 4 --state-dir /tmp/crawl_state
+
+The same engine code runs in both; only master + table IO backend differ
+(sources/io_tables.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="distributed URL-frontier crawl")
+    ap.add_argument("--pages", help="parquet path of the pages table")
+    ap.add_argument("--synth", choices=["tiny", "small", "bench"],
+                    help="generate a synthetic pages world instead")
+    ap.add_argument("--synth-pages", type=int, default=None,
+                    help="override synthetic world page count")
+    ap.add_argument("--seeds", nargs="*", default=None,
+                    help="seed URLs (default: synthetic world seeds)")
+    ap.add_argument("--state-dir", required=True)
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--budget", type=float, default=30.0,
+                    help="per-round politeness budget in seconds")
+    ap.add_argument("--parts", type=int, default=32,
+                    help="state partitioning buckets P")
+    ap.add_argument("--master", default=None, help="override spark master")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from last committed round")
+    ap.add_argument("--no-bloom", action="store_true")
+    args = ap.parse_args()
+
+    from spacetime_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from spacetime_crawler_spark.session import get_spark
+    from spacetime_crawler_spark.sources import synth
+
+    spark = get_spark(master=args.master, app_name="spacetime-crawler-spark")
+
+    if args.synth:
+        p = synth.world(args.synth, n_pages=args.synth_pages)
+        pages = synth.generate_pages_df(spark, p)
+        seeds = args.seeds or synth.seed_urls(p)
+    elif args.pages:
+        pages = spark.read.parquet(args.pages)
+        if not args.seeds:
+            ap.error("--seeds required with --pages")
+        seeds = args.seeds
+    else:
+        ap.error("one of --pages / --synth is required")
+        return
+
+    cfg = CrawlConfig(
+        state_dir=args.state_dir,
+        rounds=args.rounds,
+        round_budget_s=args.budget,
+        n_parts=args.parts,
+        use_bloom=not args.no_bloom,
+    )
+    t0 = time.monotonic()
+    run = run_crawl(spark, pages, seeds, cfg, resume=args.resume)
+    wall = time.monotonic() - t0
+
+    fetched = sum(m.urls_selected for m in run.metrics)
+    candidates = sum(m.candidates for m in run.metrics)
+    summary = {
+        "rounds_run": run.rounds_run,
+        "urls_fetched": fetched,
+        "candidates_deduped": candidates,
+        "urls_new": sum(m.urls_new for m in run.metrics),
+        "wall_s": round(wall, 2),
+        "urls_per_sec": round((fetched + candidates) / wall, 1) if wall else 0,
+        "per_round": [vars(m) for m in run.metrics],
+    }
+    json.dump(summary, sys.stdout, indent=2)
+    print()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

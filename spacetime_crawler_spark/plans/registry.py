@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from spacetime_crawler_spark.operators import dedup, multimodal, similarity, textstats
-from spacetime_crawler_spark.plans import analytics
+from spacetime_crawler_spark.plans import analytics, crawl_demos
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -26,6 +26,12 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "a4_common_words": analytics.a4_common_words,
     "a5_crawl_depth_stats": analytics.a5_crawl_depth_stats,
     "a6_host_link_graph": analytics.a6_host_link_graph,
+    # Group F — crawl operators over the synthetic pages world (rows-only)
+    "f2_canonicalize": crawl_demos.f2_canonicalize,
+    "f6_robots_gate": crawl_demos.f6_robots_gate,
+    "f7_politeness_schedule": crawl_demos.f7_politeness_schedule,
+    "f8_link_extract": crawl_demos.f8_link_extract,
+    "f9_text_extract": crawl_demos.f9_text_extract,
     # Group F demos over testdata
     "f1_urlfilter_is_valid": analytics.f1_urlfilter_is_valid,
     "f3_urlseen_dedup": analytics.f3_urlseen_dedup,
