@@ -98,3 +98,51 @@ def extract_links(html: bytes | str | None, base_url: str) -> list[str]:
     except Exception:
         pass
     return [resolve_and_canonicalize(base_url, href) for href in parser.hrefs]
+
+
+class _PageCollector(HTMLParser):
+    """Single-pass combined collector: text chunks AND hrefs in one parse.
+    MUST stay behaviorally identical to _TextCollector + _LinkCollector —
+    tests/test_textextract.py asserts extract_page ≡ (extract_text,
+    extract_links) on goldens and random inputs.  Exists because parsing is
+    the crawl hot path's dominant Python cost and parsing twice doubles it."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self.chunks: list[str] = []
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_CONTENT_TAGS and tag not in _VOID_TAGS:
+            self._skip_depth += 1
+        elif tag == "a":
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self.hrefs.append(value)
+                    break
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_CONTENT_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        stripped = data.strip()
+        if stripped:
+            self.chunks.append(stripped)
+
+
+def extract_page(html: bytes | str | None, base_url: str) -> tuple[str, list[str]]:
+    """(extract_text(html), extract_links(html, base_url)) in ONE parse."""
+    parser = _PageCollector()
+    try:
+        parser.feed(_decode(html))
+        parser.close()
+    except Exception:
+        pass
+    return (
+        "\n".join(parser.chunks),
+        [resolve_and_canonicalize(base_url, href) for href in parser.hrefs],
+    )

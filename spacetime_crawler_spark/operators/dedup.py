@@ -31,11 +31,14 @@ _DEDUP_DOC_LIMIT = 1000  # bound the all-pairs verify at bench scale
 
 # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — short docs
 # must be guarded explicitly (DuckDB's generate_series(1, 0) is []).
-_SPARK_SHINGLES = (
-    f"case when size({_SPARK_TOKENS}) < 2 then array() "
-    f"else array_distinct(transform(sequence(1, size({_SPARK_TOKENS}) - 1),"
-    f" i -> concat_ws(' ', slice({_SPARK_TOKENS}, i, 2)))) end"
+# Two-step projection (tokens first, shingles from the `toks` column) so the
+# tokenize expression is evaluated once per row, not once per sub-reference.
+_SPARK_SHINGLES_FROM_TOKS = (
+    "case when size(toks) < 2 then array() "
+    "else array_distinct(transform(sequence(1, size(toks) - 1),"
+    " i -> concat_ws(' ', slice(toks, i, 2)))) end"
 )
+_SPARK_SHINGLES = _SPARK_SHINGLES_FROM_TOKS.replace("toks", f"({_SPARK_TOKENS})")
 _DUCK_SHINGLES = (
     f"list_distinct(list_transform(generate_series(1, greatest(len({_DUCK_TOKENS}) - 1, 0)),"
     f" i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1]))"
@@ -87,7 +90,9 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _DEDUP_DOC_LIMIT
     )
-    return docs.select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
+    return docs.select(
+        "doc_id", F.expr(_SPARK_TOKENS).alias("toks")
+    ).select("doc_id", F.expr(_SPARK_SHINGLES_FROM_TOKS).alias("shingles"))
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,7 +100,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (explode → equi-join on shingle → count common), NOT a cross
     join: candidate pairs are only those sharing ≥1 shingle.  This is the
     ground-truth verifier that MinHash candidates are checked against."""
-    sh = _shingled(spark, sf_dir)
+    sh = _shingled(spark, sf_dir).persist()  # consumed by sizes + explode
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
     a = exploded.alias("a")
@@ -156,28 +161,28 @@ _MERSENNE = (1 << 31) - 1
 def _minhash_signatures(sh: DataFrame, num_perm: int = MINHASH_NUM_PERM) -> DataFrame:
     """(doc_id, shingles) → (doc_id, sig ARRAY<BIGINT>[num_perm]).
 
-    Entirely JVM-side: base hash = xxhash64(shingle), permutations are
-    affine maps (a_p·h + b_p) mod (2^61−1) evaluated with higher-order
-    functions — per-doc work is O(|shingles|·num_perm) inside whole-stage
-    codegen, no shuffle, no Python."""
+    Single-pass shape: explode shingles → base hash h = pmod(xxhash64, p)
+    computed ONCE per shingle → groupBy(doc_id) with num_perm independent
+    min(pmod(a_i·h + b_i, p)) aggregates.  All codegen'd columnar work with
+    map-side partial aggregation, so the shuffle carries only num_perm
+    longs per doc.  (A first cut used nested HOFs over the shingle array —
+    it re-evaluated the tokenize+shingle expression per permutation and ran
+    ~30× slower; explode+partial-agg is the scale-correct form.)"""
     # Deterministic coefficients per permutation (pinned, seed-free), reduced
-    # into the Mersenne-31 field.
+    # into the Mersenne-31 field (a·h + b < 2^62: no ANSI int64 overflow).
     a_coefs = [(2 * p * 0x9E3779B9 + 1) % _MERSENNE or 1 for p in range(1, num_perm + 1)]
     b_coefs = [(p * 0x85EBCA6B + 7) % _MERSENNE for p in range(1, num_perm + 1)]
-    a_lit = ", ".join(f"{c}L" for c in a_coefs)
-    b_lit = ", ".join(f"{c}L" for c in b_coefs)
-    sig_expr = f"""
-      transform(
-        arrays_zip(array({a_lit}), array({b_lit})),
-        ab -> array_min(transform(
-          shingles,
-          s -> pmod(ab['0'] * pmod(xxhash64(s), {_MERSENNE}L) + ab['1'],
-                    {_MERSENNE}L)
-        ))
-      )
-    """
-    return sh.filter(F.size("shingles") > 0).select(
-        "doc_id", F.expr(sig_expr).alias("sig")
+    hashed = sh.filter(F.size("shingles") > 0).select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select(
+        "doc_id", F.expr(f"pmod(xxhash64(s), {_MERSENNE}L)").alias("h")
+    )
+    aggs = [
+        F.min(F.expr(f"pmod({a}L * h + {b}L, {_MERSENNE}L)")).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(a_coefs, b_coefs))
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs).select(
+        "doc_id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig")
     )
 
 
@@ -191,7 +196,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all-pairs.  Driver check is rows-only (sketches aren't ANSI SQL);
     tests/test_dedup.py asserts this returns exactly the same pairs as
     dedup_ngram_jaccard (recall=1 at threshold 0.5 given the LSH s-curve)."""
-    sh = _shingled(spark, sf_dir)
+    sh = _shingled(spark, sf_dir).persist()  # consumed 3×: sigs + both verify sides
     sigs = _minhash_signatures(sh)
     rows_per_band = MINHASH_NUM_PERM // LSH_BANDS
     bands = sigs.select(

@@ -39,6 +39,27 @@ def link_extract_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
     )
 
 
+_PAGE_SCHEMA = T.StructType([
+    T.StructField("text", T.StringType()),
+    T.StructField("links", T.ArrayType(T.StringType())),
+])
+
+
+@F.pandas_udf(_PAGE_SCHEMA)
+def page_extract_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
+    """F8+F9 fused: ONE parse per page yielding (text, links) — the crawl
+    hot path's UDF (extract_page ≡ the two pinned functions; golden-tested).
+    """
+    from spacetime_crawler_spark.functions.textextract import extract_page
+
+    texts, links = [], []
+    for h, b in zip(html, base_url):
+        t, l = extract_page(h, b)
+        texts.append(t)
+        links.append(l)
+    return pd.DataFrame({"text": texts, "links": links})
+
+
 _ROBOTS_SCHEMA = T.StructType([
     T.StructField("crawl_delay", T.DoubleType()),
     T.StructField(

@@ -279,6 +279,34 @@ SELECT o_orderstatus, COUNT(*) AS n FROM merged GROUP BY o_orderstatus
 """
 
 
+# G — set-ops: exceptAll / intersectAll (round-diff shape) -----------------------
+
+def g_setops_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    half_a = orders.filter((F.col("o_orderkey") % 2 == 0) | (F.col("o_orderkey") % 3 == 0))
+    half_b = orders.filter((F.col("o_orderkey") % 2 == 1) | (F.col("o_orderkey") % 3 == 0))
+    tagged = half_a.exceptAll(half_b).withColumn("op", F.lit("except")).unionByName(
+        half_a.intersectAll(half_b).withColumn("op", F.lit("intersect"))
+    )
+    return tagged.groupBy("op", "o_orderstatus").agg(F.count("*").alias("n"))
+
+
+G_SETOPS_SQL = """
+WITH a AS (SELECT o_orderkey, o_orderstatus FROM orders
+           WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0),
+     b AS (SELECT o_orderkey, o_orderstatus FROM orders
+           WHERE o_orderkey % 2 = 1 OR o_orderkey % 3 = 0),
+     tagged AS (
+       SELECT *, 'except' AS op FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+       UNION ALL
+       SELECT *, 'intersect' AS op FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+     )
+SELECT op, o_orderstatus, COUNT(*) AS n FROM tagged GROUP BY op, o_orderstatus
+"""
+
+
 # G — JSON scalar extraction ----------------------------------------------------
 
 def g_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

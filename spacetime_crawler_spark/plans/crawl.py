@@ -37,8 +37,7 @@ from spacetime_crawler_spark.operators.politeness import (
 )
 from spacetime_crawler_spark.operators.udfs import (
     canonicalize_udf,
-    link_extract_udf,
-    text_extract_udf,
+    page_extract_udf,
 )
 from spacetime_crawler_spark.functions.urlnorm import BLACKLIST_RLIKE
 from spacetime_crawler_spark.sources.io_tables import ParquetManifestIO
@@ -169,6 +168,7 @@ def run_crawl(
     for rnd in range(start_round + 1, cfg.rounds + 1):
         t0 = time.monotonic()
         m = RoundMetrics(round=rnd)
+        round_persists: list[DataFrame] = []
         frontier = io.read(spark, "frontier", rnd - 1)
         seen = io.read(spark, "seen", rnd - 1)
         if frontier.isEmpty():
@@ -177,7 +177,6 @@ def run_crawl(
         # F6 + F7 — gate and schedule
         gated = robots_gate(frontier, robots_rules).persist()
         selected = schedule_round(gated, cfg.round_budget_s).persist()
-        m.urls_selected = selected.count()
         leftover = leftover_after_schedule(gated, selected)
 
         # F5 — fetch join against prepared pages, keyed on (url_hash, url_norm)
@@ -188,11 +187,27 @@ def run_crawl(
                 "status",
                 F.when(F.col("html").isNull(), F.lit(404)).otherwise(F.lit(200)),
             )
-            .persist()
         )
 
-        # F9 — text extraction (the byte-identity invariant) + lineage sink
-        fetch_log = fetched.select(
+        # F8+F9 fused — ONE parse per page produces text AND links; persisted
+        # WITHOUT the html payload so both downstream consumers (lineage sink,
+        # candidate pipeline) reuse the single Python pass.
+        enriched = fetched.withColumn(
+            "page", page_extract_udf("html", "url_norm")
+        ).select(
+            "host", "url_norm", "url_hash", "depth", "fetch_seq", "due_s",
+            "status",
+            F.when(F.col("status") == 200, F.sha2(F.col("page.text"), 256))
+            .alias("text_sha256"),
+            F.when(F.col("status") == 200, F.length("html"))
+            .otherwise(F.lit(0))
+            .alias("content_len"),
+            F.when(F.col("status") == 200, F.col("page.links"))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("links"),
+        ).persist()
+
+        fetch_log = enriched.select(
             F.lit(rnd).alias("round"),
             F.spark_partition_id().alias("part_id"),
             "host",
@@ -202,26 +217,24 @@ def run_crawl(
             "fetch_seq",
             "due_s",
             "status",
-            F.when(
-                F.col("status") == 200,
-                F.sha2(text_extract_udf("html"), 256),
-            ).alias("text_sha256"),
-            F.when(F.col("status") == 200, F.length("html"))
-            .otherwise(F.lit(0))
-            .alias("content_len"),
+            "text_sha256",
+            "content_len",
         )
         io.write("fetch_log", rnd, fetch_log)
-
-        m.urls_fetched_ok = fetched.filter("status = 200").count()
+        # one read-back aggregate supplies both counts (no lineage recompute,
+        # one Spark job instead of two)
+        stats = io.read_uncommitted(spark, "fetch_log", rnd).agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("status") == 200).cast("long")).alias("ok"),
+        ).collect()[0]
+        m.urls_selected = stats.n
+        m.urls_fetched_ok = stats.ok or 0
         m.urls_404 = m.urls_selected - m.urls_fetched_ok
 
-        # F8 → F1 — link extraction (canonicalized inside the UDF) + native filter
+        # F1 — native validity filter over the already-extracted links
         links = (
-            fetched.filter("status = 200")
-            .select(
-                "depth",
-                F.explode(link_extract_udf("html", "url_norm")).alias("link"),
-            )
+            enriched.filter("status = 200")
+            .select("depth", F.explode("links").alias("link"))
             .filter(_is_valid_expr("link", cfg.allowed_host_suffixes))
         )
         # within-batch collapse: one row per url, min discovery depth
@@ -230,11 +243,10 @@ def run_crawl(
                 (F.min("depth") + 1).alias("depth")
             )
         )
-        m.candidates = candidates.count()
 
         # F3 — bloom prefilter (definite-negatives skip the exact anti-join),
         # then exact left_anti vs seen, both sides partitioned by url_hash.
-        if cfg.use_bloom and m.candidates > 0:
+        if cfg.use_bloom:
             sidecar = bloom.collect_sidecar(
                 bloom.build_bloom_sidecar(seen, cfg.n_parts)
             )
@@ -242,9 +254,15 @@ def run_crawl(
             flagged = candidates.withColumn(
                 "maybe_seen", maybe_seen_udf("url_hash", "h2")
             ).persist()
+            round_persists.append(flagged)
+            cstats = flagged.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("maybe_seen").cast("long")).alias("maybes"),
+            ).collect()[0]
+            m.candidates = cstats.n
+            m.bloom_skipped = m.candidates - (cstats.maybes or 0)
             definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
             to_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-            m.bloom_skipped = m.candidates - to_check.count()
             checked_new = to_check.repartition(cfg.n_parts, "url_hash").join(
                 seen.repartition(cfg.n_parts, "url_hash"),
                 ["url_hash", "url_norm"],
@@ -252,6 +270,7 @@ def run_crawl(
             )
             new_urls = definitely_new.unionByName(checked_new)
         else:
+            m.candidates = candidates.count()
             new_urls = candidates.repartition(cfg.n_parts, "url_hash").join(
                 seen.repartition(cfg.n_parts, "url_hash"),
                 ["url_hash", "url_norm"],
@@ -290,20 +309,23 @@ def run_crawl(
         run.metrics.append(m)
         run.rounds_run = rnd
 
-        # write per-round metrics (F12)
-        metrics_df = spark.createDataFrame(
-            [(m.round, m.urls_selected, m.urls_fetched_ok, m.urls_404,
-              m.candidates, m.bloom_skipped, m.urls_new, m.wall_s)],
-            "round int, urls_selected long, urls_fetched_ok long, urls_404 long,"
-            " candidates long, bloom_skipped long, urls_new long, wall_s double",
-        )
-        io.write("metrics", rnd, metrics_df)
-        io.commit(rnd, {"metrics": 1})
-
-        for df in (gated, selected, fetched, new_frontier_rows):
+        for df in (gated, selected, enriched, new_frontier_rows, *round_persists):
             df.unpersist()
         if n_frontier == 0:
             break
+
+    # F12 — one metrics snapshot for the whole run (off the per-round
+    # critical path; per-round lineage lives in fetch_log already)
+    if run.metrics:
+        metrics_df = spark.createDataFrame(
+            [(m.round, m.urls_selected, m.urls_fetched_ok, m.urls_404,
+              m.candidates, m.bloom_skipped, m.urls_new, m.wall_s)
+             for m in run.metrics],
+            "round int, urls_selected long, urls_fetched_ok long, urls_404 long,"
+            " candidates long, bloom_skipped long, urls_new long, wall_s double",
+        )
+        io.write("metrics", run.rounds_run, metrics_df)
+        io.commit(run.rounds_run, {"metrics": len(run.metrics)})
 
     pages_latest.unpersist()
     robots_rules.unpersist()

@@ -39,6 +39,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "f5_asof_latest": analytics.f5_asof_latest,
     "f11_union_dedup": analytics.f11_union_dedup,
     # Group G — general operator surface
+    "g_setops_diff": analytics.g_setops_diff,
     "g_json_extract": analytics.g_json_extract,
     "g_cube_events": analytics.g_cube_events,
     "g_string_funcs": analytics.g_string_funcs,
@@ -77,6 +78,7 @@ ORACLE_SQL: dict[str, str] = {
     "f4_topk_per_key": analytics.F4_SQL,
     "f5_asof_latest": analytics.F5_SQL,
     "f11_union_dedup": analytics.F11_SQL,
+    "g_setops_diff": analytics.G_SETOPS_SQL,
     "g_json_extract": analytics.G_JSON_SQL,
     "g_cube_events": analytics.G_CUBE_SQL,
     "g_string_funcs": analytics.G_STRING_SQL,

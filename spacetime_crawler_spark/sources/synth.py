@@ -262,6 +262,16 @@ def seed_urls(p: WorldParams, n_seeds: int = 5) -> list[str]:
     return seeds
 
 
+def spread_seed_urls(p: WorldParams, n_seeds: int) -> list[str]:
+    """A large seed list spread uniformly over the page index space (the
+    bench fixture: the metric is sustained fetch+dedup throughput, so the
+    frontier must be saturated from round 1, not grown from 5 seeds).
+    Includes /private and disallow-all-host pages — the robots gate dropping
+    them is part of the measured pipeline."""
+    step = max(p.n_pages // n_seeds, 1)
+    return [canonical_url_of_page(i, p) for i in range(0, p.n_pages, step)][:n_seeds]
+
+
 # --- Spark materialization ------------------------------------------------------
 
 PAGES_SCHEMA_DDL = (

@@ -68,3 +68,31 @@ def test_extract_links_document_order_and_resolution():
 def test_extract_links_empty():
     assert extract_links(b"<p>no links</p>", "http://a.com") == []
     assert extract_links(None, "http://a.com") == []
+
+
+def test_extract_page_equals_separate_extractors():
+    """The fused single-pass extractor MUST be behaviorally identical to the
+    two pinned functions — on every golden case and a structured corpus."""
+    from spacetime_crawler_spark.functions.textextract import extract_page
+
+    samples = [html for html, _ in TEXT_CASES] + [
+        b'<a href="x">t</a><script><a href="no">skip?</a></script>text',
+        b'<div><a href="/a">A</a><style>a{}</style><a href="b#f">B</a></div>',
+        b"<a>no href</a><a href=''>empty</a>",
+    ]
+    for html in samples:
+        text, links = extract_page(html, "http://base.com/dir/p")
+        assert text == extract_text(html)
+        assert links == extract_links(html, "http://base.com/dir/p")
+
+
+def test_extract_page_on_synth_world():
+    from spacetime_crawler_spark.functions.textextract import extract_page
+    from spacetime_crawler_spark.sources import synth
+
+    p = synth.world("tiny", n_pages=120)
+    for i in range(0, 120, 7):
+        for row in synth.page_rows(i, p):
+            text, links = extract_page(row["html"], row["url"])
+            assert text == extract_text(row["html"]) == row["text"]
+            assert links == extract_links(row["html"], row["url"])
