@@ -207,6 +207,24 @@ WHERE NOT EXISTS (
 """
 
 
+def f3b_already_fetched_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-semi ('already fetched' check shape — SURVEY §2 group G)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return (
+        orders.join(rich, orders.o_custkey == rich.c_custkey, "left_semi")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+F3B_SQL = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal > 5000
+)
+"""
+
+
 # F4/F7 demo — per-key top-k via window ranking --------------------------------
 
 def f4_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:

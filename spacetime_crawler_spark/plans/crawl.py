@@ -99,11 +99,26 @@ def _is_valid_expr(url_col: str, allowed_suffixes: tuple[str, ...]) -> F.Column:
     return cond
 
 
+def prepare_page_keys(spark: SparkSession, pages: DataFrame) -> DataFrame:
+    """One-time NARROW pages index: (url, warc_ts, url_norm, url_hash) — the
+    canonicalized key of every capture, WITHOUT the html payload.
+
+    Deliberately no as-of window here: windowing the full table would
+    shuffle the fat html column through disk (measured ~175 s for a 2M-page
+    world — the single worst stage in the v1 engine and a plan that cannot
+    scale: local shuffles serialize on one disk, cluster shuffles move TBs
+    of html).  As-of resolution happens per round over only the selected
+    urls (fetch_join_round), so html NEVER enters a shuffle anywhere in the
+    engine."""
+    return pages.select(
+        "url", "warc_ts", canonicalize_udf("url").alias("url_norm")
+    ).withColumn("url_hash", F.xxhash64("url_norm"))
+
+
 def prepare_pages(spark: SparkSession, pages: DataFrame) -> DataFrame:
-    """One-time pages prep: canonicalize stored urls (F2 — some captures are
-    stored under noise variants), keep the LATEST capture per canonical url
-    (as-of, F5), attach join keys.  At scale this lands bucketed-by-url_hash
-    (Iceberg bucket(256, url)) so every round's fetch join is co-partitioned."""
+    """Materialized latest-capture view WITH html — used by offline report
+    analytics at test scale (crawl_reports); the crawl loop itself uses the
+    shuffle-free prepare_page_keys + fetch_join_round path instead."""
     canon = pages.withColumn("url_norm", canonicalize_udf("url"))
     latest = (
         canon.withColumn(
@@ -116,6 +131,67 @@ def prepare_pages(spark: SparkSession, pages: DataFrame) -> DataFrame:
         .drop("rn")
     )
     return _with_keys(latest.select("url_norm", "warc_ts", "html"))
+
+
+def fetch_join_round(
+    spark: SparkSession,
+    pages: DataFrame,
+    page_keys: DataFrame,
+    selected: DataFrame,
+) -> DataFrame:
+    """F5 without ever shuffling html:
+
+    1. broadcast `selected` (quota-bounded) against the narrow key index →
+       all captures of the selected urls;
+    2. as-of window over that SMALL set → one winning (url, warc_ts) per
+       url_norm (latest capture; noise-variant stored urls resolve here);
+    3. broadcast the winners into a streaming scan of raw `pages` — html
+       rows flow straight from the scan into the extraction UDF, no
+       exchange;
+    4. selected rows with no winner are 404s (left join against winners'
+       metadata, not against html).
+
+    Scale note: on a 10^10 frontier the winner set can exceed broadcast
+    size — there the Iceberg layout (bucket(256, url)) makes step 3 a
+    co-partitioned bucket join with partition pruning instead; the fallback
+    here is correct at any size, just broadcast-bound (~tens of MB per
+    round)."""
+    meta_cols = ["host", "url_norm", "url_hash", "h2", "depth",
+                 "fetch_seq", "due_s", "crawl_delay"]
+    sel_meta = selected.select(*meta_cols)
+    captures = page_keys.join(
+        F.broadcast(sel_meta), ["url_hash", "url_norm"], "inner"
+    )
+    winners = (
+        captures.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("url_norm").orderBy(F.desc("warc_ts"), F.asc("url"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # status-200 branch: html streams from the scan, schedule metadata rides
+    # the broadcast — zero html exchanges
+    fetched_ok = (
+        pages.select("url", "warc_ts", "html")
+        .join(F.broadcast(winners), ["url", "warc_ts"], "inner")
+        .select(*meta_cols, "html")
+        .withColumn("status", F.lit(200))
+    )
+    # 404 branch: selected urls with no capture at all
+    missing = (
+        selected.join(
+            F.broadcast(winners.select("url_norm", "url_hash")),
+            ["url_hash", "url_norm"],
+            "left_anti",
+        )
+        .select(*meta_cols)
+        .withColumn("html", F.lit(None).cast("binary"))
+        .withColumn("status", F.lit(404))
+    )
+    return fetched_ok.unionByName(missing)
 
 
 def init_frontier(spark: SparkSession, seeds: list[str],
@@ -148,9 +224,7 @@ def run_crawl(
     io = ParquetManifestIO(cfg.state_dir)
     run = CrawlRun(io=io)
 
-    pages_latest = prepare_pages(spark, pages).repartition(
-        cfg.n_parts, "url_hash"
-    ).persist()
+    page_keys = prepare_page_keys(spark, pages).persist()  # narrow, no html
     robots_rules = build_robots_rules(pages).persist()
     robots_rules.count()  # materialize the small side once
 
@@ -179,15 +253,9 @@ def run_crawl(
         selected = schedule_round(gated, cfg.round_budget_s).persist()
         leftover = leftover_after_schedule(gated, selected)
 
-        # F5 — fetch join against prepared pages, keyed on (url_hash, url_norm)
-        fetched = (
-            selected.repartition(cfg.n_parts, "url_hash")
-            .join(pages_latest, ["url_hash", "url_norm"], "left")
-            .withColumn(
-                "status",
-                F.when(F.col("html").isNull(), F.lit(404)).otherwise(F.lit(200)),
-            )
-        )
+        # F5 — shuffle-free fetch: broadcast the quota-bounded selected set
+        # through the narrow key index; html streams scan → UDF
+        fetched = fetch_join_round(spark, pages, page_keys, selected)
 
         # F8+F9 fused — ONE parse per page produces text AND links; persisted
         # WITHOUT the html payload so both downstream consumers (lineage sink,
@@ -327,7 +395,7 @@ def run_crawl(
         io.write("metrics", run.rounds_run, metrics_df)
         io.commit(run.rounds_run, {"metrics": len(run.metrics)})
 
-    pages_latest.unpersist()
+    page_keys.unpersist()
     robots_rules.unpersist()
     return run
 

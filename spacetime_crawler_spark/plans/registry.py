@@ -35,6 +35,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Group F demos over testdata
     "f1_urlfilter_is_valid": analytics.f1_urlfilter_is_valid,
     "f3_urlseen_dedup": analytics.f3_urlseen_dedup,
+    "f3b_already_fetched_semi": analytics.f3b_already_fetched_semi,
     "f4_topk_per_key": analytics.f4_topk_per_key,
     "f5_asof_latest": analytics.f5_asof_latest,
     "f11_union_dedup": analytics.f11_union_dedup,
@@ -75,6 +76,7 @@ ORACLE_SQL: dict[str, str] = {
     "a6_host_link_graph": analytics.A6_SQL,
     "f1_urlfilter_is_valid": analytics.F1_SQL,
     "f3_urlseen_dedup": analytics.F3_SQL,
+    "f3b_already_fetched_semi": analytics.F3B_SQL,
     "f4_topk_per_key": analytics.F4_SQL,
     "f5_asof_latest": analytics.F5_SQL,
     "f11_union_dedup": analytics.F11_SQL,

@@ -46,12 +46,16 @@ class WorldParams:
     scale: str
     n_pages: int
     n_hosts: int
+    # paragraph-length multiplier: bench pages carry realistic-weight text so
+    # the measured work is parse/extract, not just scheduling (tiny/small
+    # stay at 1 — the differential-oracle fixtures are unaffected)
+    text_scale: int = 1
 
 
 SCALES = {
     "tiny": WorldParams("tiny", 2_000, 20),
     "small": WorldParams("small", 50_000, 200),
-    "bench": WorldParams("bench", 1_000_000, 2_000),
+    "bench": WorldParams("bench", 1_000_000, 2_000, text_scale=4),
 }
 
 
@@ -60,7 +64,7 @@ def world(scale: str | WorldParams, n_pages: int | None = None) -> WorldParams:
         return scale
     p = SCALES[scale]
     if n_pages is not None:
-        return WorldParams(p.scale, n_pages, p.n_hosts)
+        return WorldParams(p.scale, n_pages, p.n_hosts, p.text_scale)
     return p
 
 
@@ -181,11 +185,12 @@ def html_of_page(i: int, p: WorldParams, capture: int = 0) -> bytes:
         f'<a href="{href}">l{k}</a>' for k, href in enumerate(link_targets(i, p))
     )
     extra = f"<p>updated capture {_words(i, 'upd', 6)}</p>" if capture else ""
+    ts = p.text_scale
     html = (
         f"<html><head><title>Page {i:06d} {_words(i, 't', 3)}</title>"
         f"<script>var p={i};</script><style>p {{margin: 0}}</style></head>"
-        f"<body><p>{_words(i, 'p1', 12 + _h('len1', i) % 30)}</p>"
-        f"<p>{_words(i, 'p2', 8 + _h('len2', i) % 20)}</p>{extra}\n{anchors}\n"
+        f"<body><p>{_words(i, 'p1', (12 + _h('len1', i) % 30) * ts)}</p>"
+        f"<p>{_words(i, 'p2', (8 + _h('len2', i) % 20) * ts)}</p>{extra}\n{anchors}\n"
         f"</body></html>"
     )
     return html.encode("utf-8")

@@ -66,24 +66,38 @@ def test_whole_stage_codegen_everywhere_jvm(spark):
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
-def test_crawl_fetch_join_keys_on_hash(spark):
-    """The fetch join must key on url_hash (narrow shuffle key), and the
-    robots gate must broadcast the rules side."""
+def test_crawl_fetch_join_broadcasts_and_never_shuffles_html(spark):
+    """The fetch path must broadcast the selected/winner sides and keep the
+    fat html column OUT of every exchange; the robots gate must broadcast
+    the rules side."""
     from spacetime_crawler_spark.operators.politeness import (
         build_robots_rules,
         robots_gate,
     )
-    from spacetime_crawler_spark.plans.crawl import _with_keys, prepare_pages
+    from spacetime_crawler_spark.plans.crawl import (
+        _with_keys,
+        fetch_join_round,
+        prepare_page_keys,
+    )
     from spacetime_crawler_spark.sources import synth
 
     pages = synth.generate_pages_df(spark, synth.world("tiny", n_pages=200))
-    prepared = prepare_pages(spark, pages)
-    frontier = _with_keys(
-        pages.select(F.col("url").alias("url_norm")).limit(50)
-    ).withColumn("host", F.lower(F.parse_url("url_norm", F.lit("HOST")))).withColumn(
-        "depth", F.lit(0)
+    keys = prepare_page_keys(spark, pages)
+    selected = (
+        _with_keys(pages.select(F.col("url").alias("url_norm")).limit(50))
+        .withColumn("host", F.lower(F.parse_url("url_norm", F.lit("HOST"))))
+        .withColumn("depth", F.lit(0))
+        .withColumn("fetch_seq", F.lit(1))
+        .withColumn("due_s", F.lit(0.5))
+        .withColumn("crawl_delay", F.lit(0.5))
     )
-    fetch = frontier.join(prepared, ["url_hash", "url_norm"], "left")
-    assert "xxhash64" in _plan(fetch)
-    gated = robots_gate(frontier, build_robots_rules(pages))
+    plan = _plan(fetch_join_round(spark, pages, keys, selected))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # html may appear in scans/projections but never inside a shuffle key
+    import re
+
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "html" not in m.group(1), m.group(0)
+    gated = robots_gate(selected.drop("fetch_seq", "due_s", "crawl_delay"),
+                        build_robots_rules(pages))
     assert "BroadcastExchange" in _plan(gated)
