@@ -55,7 +55,7 @@ class WorldParams:
 SCALES = {
     "tiny": WorldParams("tiny", 2_000, 20),
     "small": WorldParams("small", 50_000, 200),
-    "bench": WorldParams("bench", 1_000_000, 2_000, text_scale=4),
+    "bench": WorldParams("bench", 1_000_000, 2_000, text_scale=64),
 }
 
 
