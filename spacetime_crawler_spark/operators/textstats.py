@@ -145,6 +145,40 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", pred.alias("pred_lang"), best.alias("n_hits"))
 
 
+# --- BPE-ish token counting ---------------------------------------------------------
+
+# GPT-2-style pre-tokenizer shape, restricted to Java-regex-portable classes:
+# contractions | letter runs (with optional leading space) | digit runs |
+# punctuation runs | whitespace runs.  Pinned here; the pure tokenizer below
+# and the Spark expression must agree (unit-tested), so the driver check is
+# rows-only but the semantics are pinned cross-implementation.
+BPE_PRETOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_pretokenize(text: str | None) -> list[str]:
+    """Pure reference implementation (shared with tests)."""
+    import re as _re
+
+    if not text:
+        return []
+    return [t for t in _re.findall(BPE_PRETOKEN_REGEX, text) if t.strip()]
+
+
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BPE-ish token counts: whitespace tokens vs pre-tokenizer
+    tokens (the cost signal a training pipeline budgets by).  JVM-side via
+    regexp_extract_all — no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("size(filter(split(text, '\\\\s+'), x -> x != ''))").alias("ws_tokens"),
+        F.expr(
+            f"size(filter(regexp_extract_all(text, \"{BPE_PRETOKEN_REGEX}\", 0),"
+            " x -> trim(x) != ''))"
+        ).alias("bpe_tokens"),
+    )
+
+
 # --- document fingerprint ----------------------------------------------------------
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

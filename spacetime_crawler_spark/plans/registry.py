@@ -61,6 +61,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_quality_score": textstats.text_quality_score,
     "text_token_stats": textstats.text_token_stats,
     "text_langid": textstats.text_langid,
+    "text_bpe_token_count": textstats.text_bpe_token_count,
     "text_fingerprint": textstats.text_fingerprint,
     # Training-data pipeline — multimodal plumbing
     "multimodal_binary_meta": multimodal.multimodal_binary_meta,

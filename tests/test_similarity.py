@@ -79,3 +79,31 @@ def test_multimodal_decode_is_explicit_stub():
 
     with _pytest.raises(NotImplementedError):
         multimodal._decode_image(b"\xff\xd8\xff")
+
+
+def test_bpe_token_count_matches_pure_python(spark, sf_dir):
+    import duckdb
+
+    from spacetime_crawler_spark.operators.textstats import (
+        bpe_pretokenize,
+        text_bpe_token_count,
+    )
+
+    rows = {
+        r.doc_id: (r.ws_tokens, r.bpe_tokens)
+        for r in text_bpe_token_count(spark, sf_dir).collect()
+    }
+    texts = dict(
+        duckdb.sql(
+            f"select doc_id, text from '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    for did, text in texts.items():
+        assert rows[did] == (
+            len([t for t in text.split() if t]),
+            len(bpe_pretokenize(text)),
+        )
+    # pinned micro-goldens for the pre-tokenizer shape
+    assert bpe_pretokenize("I'll don't 123 abc-def!") == [
+        "I", "'ll", " don", "'t", " 123", " abc", "-", "def", "!",
+    ]
