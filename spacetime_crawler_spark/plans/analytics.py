@@ -408,6 +408,29 @@ FROM orders GROUP BY 1 ORDER BY month
 """
 
 
+# G — pivot (wide report shape) ------------------------------------------------------
+
+def g_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() — oracle expressed as conditional aggregation
+    (identical results, portable SQL)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .orderBy("o_orderpriority")
+    )
+
+
+G_PIVOT_SQL = """
+SELECT o_orderpriority,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # G — window running aggregate ------------------------------------------------------
 
 def g_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,6 +46,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "g_string_funcs": analytics.g_string_funcs,
     "g_datetime_bucket": analytics.g_datetime_bucket,
     "g_window_running": analytics.g_window_running,
+    "g_pivot_status": analytics.g_pivot_status,
     # Training-data pipeline — dedup
     "dedup_exact_stats": dedup.dedup_exact_stats,
     "dedup_exact_groups": dedup.dedup_exact_groups,
@@ -87,6 +88,7 @@ ORACLE_SQL: dict[str, str] = {
     "g_string_funcs": analytics.G_STRING_SQL,
     "g_datetime_bucket": analytics.G_DATETIME_SQL,
     "g_window_running": analytics.G_WINDOW_SQL,
+    "g_pivot_status": analytics.G_PIVOT_SQL,
     "dedup_exact_stats": dedup.DEDUP_EXACT_STATS_SQL,
     "dedup_exact_groups": dedup.DEDUP_EXACT_GROUPS_SQL,
     "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_JACCARD_SQL,
