@@ -59,6 +59,68 @@ def _build_bitmap(h1: np.ndarray, h2: np.ndarray, fpr: float) -> tuple[int, int,
     return nbits, k, bits.tobytes()
 
 
+def _build_bitmap_fixed(
+    h1: np.ndarray, h2: np.ndarray, nbits: int, k: int
+) -> bytes:
+    """Bitmap with CALLER-fixed geometry — the incremental-maintenance path:
+    per-round delta bitmaps share (nbits, k) so they OR together."""
+    bits = np.zeros(nbits // 8, dtype=np.uint8)
+    if len(h1):
+        pos = _positions(h1, h2, k, nbits)
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bits.tobytes()
+
+
+def build_delta_sidecar(
+    delta: DataFrame, n_parts: int, nbits: int, k: int
+) -> dict[int, tuple[int, int, bytes]]:
+    """Per-partition bitmaps of ONE round's newly-seen keys at fixed
+    geometry, collected to the driver (≤P small rows).  Incremental bloom
+    maintenance: OR these into the running sidecar instead of rebuilding
+    from the full seen set — per-round bloom cost becomes O(new), not
+    O(total), which is what survives a 10^10-URL seen set."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(pdf["part_id"].iloc[0])
+        bits = _build_bitmap_fixed(
+            pdf["url_hash"].to_numpy(), pdf["h2"].to_numpy(), nbits, k
+        )
+        return pd.DataFrame({
+            "part_id": [part], "nbits": [nbits], "nhashes": [k],
+            "n_items": [len(pdf)], "bits": [bits],
+        })
+
+    keyed = delta.select(
+        F.pmod("url_hash", F.lit(n_parts)).cast("int").alias("part_id"),
+        "url_hash",
+        "h2",
+    )
+    built = keyed.groupBy("part_id").applyInPandas(build, schema=BLOOM_SCHEMA)
+    return {
+        r.part_id: (r.nbits, r.nhashes, bytes(r.bits)) for r in built.collect()
+    }
+
+
+def merge_sidecars(
+    acc: dict[int, tuple[int, int, bytes]],
+    delta: dict[int, tuple[int, int, bytes]],
+) -> dict[int, tuple[int, int, bytes]]:
+    """OR per-partition bitmaps (same geometry) into the accumulator."""
+    out = dict(acc)
+    for part, (nbits, k, bits) in delta.items():
+        if part in out:
+            nb0, k0, b0 = out[part]
+            assert (nb0, k0) == (nbits, k), "bloom geometry mismatch"
+            merged = np.bitwise_or(
+                np.frombuffer(b0, dtype=np.uint8),
+                np.frombuffer(bits, dtype=np.uint8),
+            ).tobytes()
+            out[part] = (nbits, k, merged)
+        else:
+            out[part] = (nbits, k, bits)
+    return out
+
+
 def build_bloom_sidecar(seen: DataFrame, n_parts: int, fpr: float = DEFAULT_FPR) -> DataFrame:
     """seen(url_hash, h2, …) → bloom_state(part_id, nbits, nhashes, n_items,
     bits): one grouped-map task per partition bucket, each building its own

@@ -53,6 +53,12 @@ class CrawlConfig:
     n_parts: int = 32
     use_bloom: bool = True
     allowed_host_suffixes: tuple[str, ...] = ()
+    # fixed bloom geometry per partition bucket (incremental maintenance):
+    # 2^21 bits / 7 hashes ≈ 1% FPR up to ~200k keys per bucket; size for
+    # the target seen-set capacity — FPR degradation past capacity only
+    # costs extra anti-join traffic, never correctness
+    bloom_bits_per_part: int = 1 << 21
+    bloom_hashes: int = 7
 
 
 @dataclass
@@ -236,15 +242,35 @@ def run_crawl(
     if start_round == 0:
         frontier, seen = init_frontier(spark, seeds, cfg)
         io.write("frontier", 0, frontier)
+        # `seen` is stored as per-round DELTAS (round=N holds only the URLs
+        # first seen in round N): writes are O(new), never O(total) — the
+        # snapshot-rewrite alternative re-writes the whole 10^10-key set
+        # every round.  Readers union committed deltas; Iceberg backend
+        # compacts them natively.
         io.write("seen", 0, seen.repartition(cfg.n_parts, "url_hash"))
         io.commit(0, {"frontier": frontier.count(), "seen": seen.count()})
+
+    def seen_up_to(rnd_inclusive: int) -> DataFrame:
+        dfs = [io.read(spark, "seen", r) for r in range(0, rnd_inclusive + 1)]
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
+
+    # incremental bloom sidecar: fixed geometry, OR'd per round
+    sidecar: dict[int, tuple[int, int, bytes]] = {}
+    if cfg.use_bloom:
+        sidecar = bloom.build_delta_sidecar(
+            seen_up_to(start_round), cfg.n_parts,
+            cfg.bloom_bits_per_part, cfg.bloom_hashes,
+        )
 
     for rnd in range(start_round + 1, cfg.rounds + 1):
         t0 = time.monotonic()
         m = RoundMetrics(round=rnd)
         round_persists: list[DataFrame] = []
         frontier = io.read(spark, "frontier", rnd - 1)
-        seen = io.read(spark, "seen", rnd - 1)
+        seen = seen_up_to(rnd - 1)
         if frontier.isEmpty():
             break
 
@@ -315,9 +341,6 @@ def run_crawl(
         # F3 — bloom prefilter (definite-negatives skip the exact anti-join),
         # then exact left_anti vs seen, both sides partitioned by url_hash.
         if cfg.use_bloom:
-            sidecar = bloom.collect_sidecar(
-                bloom.build_bloom_sidecar(seen, cfg.n_parts)
-            )
             maybe_seen_udf = bloom.make_maybe_seen_udf(spark, sidecar, cfg.n_parts)
             flagged = candidates.withColumn(
                 "maybe_seen", maybe_seen_udf("url_hash", "h2")
@@ -358,14 +381,20 @@ def run_crawl(
             .agg(F.min("depth").alias("depth"))
             .select(*FRONTIER_COLS)
         )
-        next_seen = seen.unionByName(
-            new_frontier_rows.select("url_norm", "url_hash", "h2").withColumn(
-                "round_seen", F.lit(rnd)
-            )
-        )
+        seen_delta = new_frontier_rows.select(
+            "url_norm", "url_hash", "h2"
+        ).withColumn("round_seen", F.lit(rnd))
 
         io.write("frontier", rnd, next_frontier)
-        io.write("seen", rnd, next_seen.repartition(cfg.n_parts, "url_hash"))
+        io.write("seen", rnd, seen_delta.repartition(cfg.n_parts, "url_hash"))
+        if cfg.use_bloom:
+            sidecar = bloom.merge_sidecars(
+                sidecar,
+                bloom.build_delta_sidecar(
+                    io.read_uncommitted(spark, "seen", rnd), cfg.n_parts,
+                    cfg.bloom_bits_per_part, cfg.bloom_hashes,
+                ),
+            )
         # count from the files just written — never recompute round lineage
         n_frontier = io.read_uncommitted(spark, "frontier", rnd).count()
         m.wall_s = time.monotonic() - t0
@@ -420,7 +449,11 @@ def read_fetch_log(spark: SparkSession, io: ParquetManifestIO,
 
 
 def read_seen(spark: SparkSession, io: ParquetManifestIO) -> DataFrame:
+    """Union of all committed per-round seen deltas (= the full seen set)."""
     last = io.last_committed_round("seen")
     if last is None:
         raise FileNotFoundError("no committed seen rounds")
-    return io.read(spark, "seen", last)
+    out = io.read(spark, "seen", 0)
+    for rnd in range(1, last + 1):
+        out = out.unionByName(io.read(spark, "seen", rnd))
+    return out
