@@ -107,3 +107,14 @@ def test_bpe_token_count_matches_pure_python(spark, sf_dir):
     assert bpe_pretokenize("I'll don't 123 abc-def!") == [
         "I", "'ll", " don", "'t", " 123", " abc", "-", "def", "!",
     ]
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    from spacetime_crawler_spark.plans.analytics import (
+        a1_approx_unique_pages,
+        a1_unique_pages,
+    )
+
+    exact = a1_unique_pages(spark, sf_dir).collect()[0].unique_pages
+    approx = a1_approx_unique_pages(spark, sf_dir).collect()[0].approx_unique_pages
+    assert abs(approx - exact) <= max(1, 0.05 * exact), (approx, exact)
