@@ -65,22 +65,17 @@ def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed metadata over a binary column via mapInPandas: byte length +
-    sha256.  Arrow moves the binary batches; Python touches each buffer once.
+    """Typed metadata over a binary column with NATIVE JVM expressions —
+    F.length and F.sha2 stay inside whole-stage codegen, no Python crossing.
+    (The mapInPandas surface lives in multimodal_fake_features, where the
+    per-byte work is genuinely Python; metadata never needs it.)
     DuckDB-verifiable because the payload is derived from text."""
     payloads = _with_payload(spark, sf_dir)
-
-    def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "byte_len": pdf["payload"].map(len).astype("int64"),
-                "sha": pdf["payload"].map(
-                    lambda b: hashlib.sha256(bytes(b)).hexdigest()
-                ),
-            })
-
-    return payloads.mapInPandas(meta_batches, schema=BINARY_META_SCHEMA)
+    return payloads.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("byte_len"),
+        F.sha2("payload", 256).alias("sha"),
+    )
 
 
 MULTIMODAL_BINARY_META_SQL = """
@@ -89,10 +84,12 @@ FROM documents
 """
 
 
-def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_fake_features_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction plumbing demo: binary payload → fixed-dim vector
     via the deterministic fake featurizer (decode stub documented above).
-    Rows-only driver check; unit tests pin determinism + dimensionality."""
+    Array-valued variant used by pytest; unit tests pin determinism +
+    dimensionality.  The driver-facing registry entry is the exploded
+    multimodal_fake_features below (hashable scalar rows)."""
     payloads = _with_payload(spark, sf_dir)
 
     def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -105,3 +102,15 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return payloads.mapInPandas(feature_batches, schema=FEATURES_SCHEMA)
+
+
+def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the featurizer output exploded to one
+    (doc_id, dim, value) row per vector component — scalar columns only, so
+    the driver's rows-only canonicalizer (which sorts/hashes cell values)
+    can handle it; array cells are unhashable there.  Same plumbing, same
+    numbers: posexplode is a native expression over the UDF's array column."""
+    vecs = multimodal_fake_features_array(spark, sf_dir)
+    return vecs.select(
+        "doc_id", "byte_len", F.posexplode("features").alias("dim", "value")
+    )

@@ -65,13 +65,34 @@ def test_langid_marker_snippets(spark, sf_dir):
 
 def test_multimodal_fake_features_deterministic(spark):
     a = {r.doc_id: tuple(r.features) for r in
-         multimodal.multimodal_fake_features(spark, SF_DIR).limit(50).collect()}
+         multimodal.multimodal_fake_features_array(spark, SF_DIR).limit(50).collect()}
     b = {r.doc_id: tuple(r.features) for r in
-         multimodal.multimodal_fake_features(spark, SF_DIR).limit(50).collect()}
+         multimodal.multimodal_fake_features_array(spark, SF_DIR).limit(50).collect()}
     assert a == b
     for feats in a.values():
         assert len(feats) == multimodal.FEATURE_DIM
         assert all(0.0 <= f < 1.0 for f in feats)
+
+
+def test_multimodal_fake_features_driver_entry_is_scalar_and_consistent(spark):
+    """The registry entry must expose only hashable scalar columns (the
+    driver canonicalizer sorts cell values) and agree with the array variant."""
+    exploded = multimodal.multimodal_fake_features(spark, SF_DIR)
+    for f in exploded.schema.fields:
+        assert not f.dataType.typeName().startswith(("array", "map", "struct"))
+    got = {(r.doc_id, r.dim): r.value
+           for r in exploded.filter("doc_id < 20").collect()}
+    want = {(r.doc_id, i): v
+            for r in multimodal.multimodal_fake_features_array(spark, SF_DIR)
+                               .filter("doc_id < 20").collect()
+            for i, v in enumerate(r.features)}
+    assert got == want
+
+
+def test_multimodal_binary_meta_is_native(spark):
+    """Metadata op must stay JVM-side: no Arrow/Python eval nodes in plan."""
+    plan = multimodal.multimodal_binary_meta(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEval" not in plan and "MapInPandas" not in plan and "BatchEval" not in plan
 
 
 def test_multimodal_decode_is_explicit_stub():
