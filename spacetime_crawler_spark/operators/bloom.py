@@ -12,9 +12,16 @@ definitely-new and may skip the exact anti-join; a positive falls through to
 the exact check.  Choice of bloom over cuckoo: the URL-seen set is
 insert-only — cuckoo's deletions buy nothing (SURVEY §4.3).
 
-At the 10^10 tier: P scales up and each task needs only the shards its
-url_hash bucket range maps to; in this sandbox the whole sidecar is one
-small broadcast dict.
+Sidecar lifecycle (round 2 design): the sidecar is a per-round STATE TABLE
+(P rows of (part_id, nbits, nhashes, n_items, bits)) committed atomically
+with frontier/seen — resume reads it back in O(P) instead of rebuilding
+from the full seen set.  Maintenance is distributed (union previous rows
+with the round's delta bitmaps, OR per part_id in a grouped-map task); the
+driver never has to hold the bitmaps.  Membership testing is size-gated:
+small sidecars ride one broadcast (destroyed after the round); past
+`bloom_broadcast_max_bytes` the candidates COGROUP with the sidecar rows on
+part_id, so each task receives only the bitmaps of its own buckets — the
+shard-routing design SURVEY §4.3 calls for at the 10^10 tier.
 """
 
 from __future__ import annotations
@@ -71,14 +78,14 @@ def _build_bitmap_fixed(
     return bits.tobytes()
 
 
-def build_delta_sidecar(
+def delta_bitmaps_df(
     delta: DataFrame, n_parts: int, nbits: int, k: int
-) -> dict[int, tuple[int, int, bytes]]:
+) -> DataFrame:
     """Per-partition bitmaps of ONE round's newly-seen keys at fixed
-    geometry, collected to the driver (≤P small rows).  Incremental bloom
-    maintenance: OR these into the running sidecar instead of rebuilding
-    from the full seen set — per-round bloom cost becomes O(new), not
-    O(total), which is what survives a 10^10-URL seen set."""
+    geometry, as a DataFrame (≤P small rows) — NOT collected.  Incremental
+    bloom maintenance: OR these into the running sidecar table instead of
+    rebuilding from the full seen set — per-round bloom cost becomes O(new),
+    not O(total), which is what survives a 10^10-URL seen set."""
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         part = int(pdf["part_id"].iloc[0])
@@ -95,56 +102,76 @@ def build_delta_sidecar(
         "url_hash",
         "h2",
     )
-    built = keyed.groupBy("part_id").applyInPandas(build, schema=BLOOM_SCHEMA)
-    return {
-        r.part_id: (r.nbits, r.nhashes, bytes(r.bits)) for r in built.collect()
-    }
+    return keyed.groupBy("part_id").applyInPandas(build, schema=BLOOM_SCHEMA)
 
 
-def merge_sidecars(
-    acc: dict[int, tuple[int, int, bytes]],
-    delta: dict[int, tuple[int, int, bytes]],
-) -> dict[int, tuple[int, int, bytes]]:
-    """OR per-partition bitmaps (same geometry) into the accumulator."""
-    out = dict(acc)
-    for part, (nbits, k, bits) in delta.items():
-        if part in out:
-            nb0, k0, b0 = out[part]
-            assert (nb0, k0) == (nbits, k), "bloom geometry mismatch"
-            merged = np.bitwise_or(
-                np.frombuffer(b0, dtype=np.uint8),
-                np.frombuffer(bits, dtype=np.uint8),
-            ).tobytes()
-            out[part] = (nbits, k, merged)
-        else:
-            out[part] = (nbits, k, bits)
-    return out
+def merge_bitmaps_df(rows: DataFrame) -> DataFrame:
+    """OR together all bitmap rows sharing a part_id (same geometry) —
+    distributed sidecar maintenance: union(previous sidecar, delta bitmaps)
+    → one merged row per partition bucket.  Shuffles only ≤2P small rows."""
 
-
-def build_bloom_sidecar(seen: DataFrame, n_parts: int, fpr: float = DEFAULT_FPR) -> DataFrame:
-    """seen(url_hash, h2, …) → bloom_state(part_id, nbits, nhashes, n_items,
-    bits): one grouped-map task per partition bucket, each building its own
-    bitmap (the applyInPandas-as-UDAF pattern — SURVEY §2 group G)."""
-
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        part = int(pdf["part_id"].iloc[0])
-        nbits, k, bits = _build_bitmap(
-            pdf["url_hash"].to_numpy(), pdf["h2"].to_numpy(), fpr
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        nbits = int(pdf["nbits"].iloc[0])
+        k = int(pdf["nhashes"].iloc[0])
+        assert (pdf["nbits"] == nbits).all() and (pdf["nhashes"] == k).all(), (
+            "bloom geometry mismatch"
         )
+        acc = np.zeros(nbits // 8, dtype=np.uint8)
+        for b in pdf["bits"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
         return pd.DataFrame({
-            "part_id": [part],
+            "part_id": [int(pdf["part_id"].iloc[0])],
             "nbits": [nbits],
             "nhashes": [k],
-            "n_items": [len(pdf)],
-            "bits": [bits],
+            "n_items": [int(pdf["n_items"].sum())],
+            "bits": [acc.tobytes()],
         })
 
-    keyed = seen.select(
-        F.pmod("url_hash", F.lit(n_parts)).cast("int").alias("part_id"),
-        "url_hash",
-        "h2",
+    return rows.groupBy("part_id").applyInPandas(merge, schema=BLOOM_SCHEMA)
+
+
+def flag_maybe_seen_cogrouped(
+    candidates: DataFrame, bloom_df: DataFrame, n_parts: int
+) -> DataFrame:
+    """Membership test WITHOUT broadcasting the sidecar: candidates cogroup
+    with the sidecar rows on part_id = pmod(url_hash, P), so each task holds
+    only its own buckets' bitmaps — executor memory stays O(sidecar/P) no
+    matter how large the seen set grows.  Multiple bitmap rows per bucket
+    (e.g. sidecar ∪ fresh deltas) are OR'd on the fly.  Returns candidates
+    + maybe_seen, exactly like the broadcast-UDF path."""
+    import pyspark.sql.types as _T
+
+    cand_cols = [f.name for f in candidates.schema.fields]
+    out_schema = _T.StructType(
+        list(candidates.schema.fields) + [_T.StructField("maybe_seen", _T.BooleanType())]
     )
-    return keyed.groupBy("part_id").applyInPandas(build, schema=BLOOM_SCHEMA)
+    keyed = candidates.withColumn(
+        "part_id", F.pmod("url_hash", F.lit(n_parts)).cast("int")
+    )
+    bloomed = bloom_df.select("part_id", "nbits", "nhashes", "bits")
+
+    def flag(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cand_pdf):
+            return pd.DataFrame(columns=cand_cols + ["maybe_seen"])
+        if not len(bloom_pdf):
+            maybe = np.zeros(len(cand_pdf), dtype=bool)
+        else:
+            nbits = int(bloom_pdf["nbits"].iloc[0])
+            k = int(bloom_pdf["nhashes"].iloc[0])
+            bits = np.zeros(nbits // 8, dtype=np.uint8)
+            for b in bloom_pdf["bits"]:
+                bits |= np.frombuffer(b, dtype=np.uint8)
+            pos = _positions(
+                cand_pdf["url_hash"].to_numpy(), cand_pdf["h2"].to_numpy(), k, nbits
+            )
+            maybe = ((bits[pos >> 3] >> (pos & 7)) & 1).all(axis=1)
+        return cand_pdf[cand_cols].assign(maybe_seen=maybe)
+
+    return (
+        keyed.groupBy("part_id")
+        .cogroup(bloomed.groupBy("part_id"))
+        .applyInPandas(flag, schema=out_schema)
+    )
 
 
 def collect_sidecar(bloom_df: DataFrame) -> dict[int, tuple[int, int, bytes]]:
@@ -158,7 +185,9 @@ def collect_sidecar(bloom_df: DataFrame) -> dict[int, tuple[int, int, bytes]]:
 def make_maybe_seen_udf(spark, sidecar: dict[int, tuple[int, int, bytes]], n_parts: int):
     """Vectorized membership test: (url_hash, h2) → maybe_seen boolean.
     The sidecar rides a Spark broadcast; numpy does the bit tests per Arrow
-    batch."""
+    batch.  Returns (udf, broadcast) — the CALLER must destroy() the
+    broadcast once the round's filtering is materialized, otherwise each
+    round leaks a full sidecar copy on the driver and every executor."""
     bcast = spark.sparkContext.broadcast(
         {p: (nb, k, np.frombuffer(b, dtype=np.uint8)) for p, (nb, k, b) in sidecar.items()}
     )
@@ -183,4 +212,4 @@ def make_maybe_seen_udf(spark, sidecar: dict[int, tuple[int, int, bytes]], n_par
             out[mask] = hit.all(axis=1)
         return pd.Series(out)
 
-    return maybe_seen
+    return maybe_seen, bcast

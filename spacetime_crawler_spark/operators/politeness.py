@@ -145,7 +145,12 @@ def schedule_round(gated: DataFrame, round_budget_s: float) -> DataFrame:
 
 
 def leftover_after_schedule(gated: DataFrame, selected: DataFrame) -> DataFrame:
-    """Allowed-but-over-quota URLs stay in the frontier for the next round."""
+    """Allowed-but-over-quota URLs stay in the frontier for the next round.
+    Anti-join keys lead with the 64-bit url_hash (cheap fixed-width hashing
+    on the hot path); url_norm stays in the key so a hash collision can never
+    drop a distinct URL."""
     return gated.join(
-        selected.select("url_norm"), "url_norm", "left_anti"
+        selected.select("url_hash", "url_norm"),
+        ["url_hash", "url_norm"],
+        "left_anti",
     ).select("url_norm", "url_hash", "h2", "host", "depth")

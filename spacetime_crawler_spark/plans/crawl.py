@@ -59,6 +59,17 @@ class CrawlConfig:
     # costs extra anti-join traffic, never correctness
     bloom_bits_per_part: int = 1 << 21
     bloom_hashes: int = 7
+    # fetch-join strategy gate: broadcast the selected set while it's small,
+    # fall back to a shuffled hash join past this many rows (the 10^10-tier
+    # regime where the winner set exceeds broadcast size)
+    fetch_broadcast_max_rows: int = 2_000_000
+    # sidecar membership gate: broadcast the whole sidecar below this size,
+    # cogroup candidates with the sidecar rows on part_id above it (each
+    # task then holds only its buckets' bitmaps)
+    bloom_broadcast_max_bytes: int = 64 << 20
+    # rewrite `seen` as one compacted snapshot every K rounds so readers
+    # union ≤K+1 files instead of O(rounds); 0 disables compaction
+    seen_compact_every: int = 8
 
 
 @dataclass
@@ -75,7 +86,7 @@ class RoundMetrics:
 
 @dataclass
 class CrawlRun:
-    io: ParquetManifestIO
+    io: object  # ParquetManifestIO | IcebergIO (same contract)
     metrics: list[RoundMetrics] = field(default_factory=list)
     rounds_run: int = 0
 
@@ -144,30 +155,40 @@ def fetch_join_round(
     pages: DataFrame,
     page_keys: DataFrame,
     selected: DataFrame,
+    broadcast_selected: bool = True,
 ) -> DataFrame:
-    """F5 without ever shuffling html:
+    """F5 with an adaptive physical strategy, html never in a shuffle KEY:
 
-    1. broadcast `selected` (quota-bounded) against the narrow key index →
+    1. join `selected` (quota-bounded) against the narrow key index →
        all captures of the selected urls;
-    2. as-of window over that SMALL set → one winning (url, warc_ts) per
+    2. as-of window over that set → one winning (url, warc_ts) per
        url_norm (latest capture; noise-variant stored urls resolve here);
-    3. broadcast the winners into a streaming scan of raw `pages` — html
-       rows flow straight from the scan into the extraction UDF, no
-       exchange;
-    4. selected rows with no winner are 404s (left join against winners'
+    3. join the winners into a scan of raw `pages` — html rows flow from
+       the scan into the extraction UDF;
+    4. selected rows with no winner are 404s (anti-join against winners'
        metadata, not against html).
 
-    Scale note: on a 10^10 frontier the winner set can exceed broadcast
-    size — there the Iceberg layout (bucket(256, url)) makes step 3 a
-    co-partitioned bucket join with partition pruning instead; the fallback
-    here is correct at any size, just broadcast-bound (~tens of MB per
-    round)."""
+    broadcast_selected=True (small selected set — the common case): steps
+    1/3/4 broadcast the small side, so html NEVER enters any exchange.
+
+    broadcast_selected=False (10^10-tier rounds where the selected set
+    exceeds broadcast size): steps 1/3/4 become shuffled hash joins on
+    narrow keys.  Step 3 does move matched html rows through one exchange —
+    that is O(html actually fetched this round), work the cluster must do
+    anyway to parse them — and the runtime bloom filter (see session.py)
+    prunes unmatched pages rows BEFORE the exchange, so the shuffle never
+    carries the whole table.  (With Iceberg `bucket(P, url)` layout both
+    joins become storage-co-partitioned and the exchange disappears.)"""
     meta_cols = ["host", "url_norm", "url_hash", "h2", "depth",
                  "fetch_seq", "due_s", "crawl_delay"]
+
+    def _small(df: DataFrame) -> DataFrame:
+        # broadcast when allowed, else prefer a shuffled hash join with this
+        # (smaller) side as build — never a sort of the probe side
+        return F.broadcast(df) if broadcast_selected else df.hint("shuffle_hash")
+
     sel_meta = selected.select(*meta_cols)
-    captures = page_keys.join(
-        F.broadcast(sel_meta), ["url_hash", "url_norm"], "inner"
-    )
+    captures = page_keys.join(_small(sel_meta), ["url_hash", "url_norm"], "inner")
     winners = (
         captures.withColumn(
             "rn",
@@ -178,18 +199,18 @@ def fetch_join_round(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    # status-200 branch: html streams from the scan, schedule metadata rides
-    # the broadcast — zero html exchanges
+    # status-200 branch: html streams from the scan; schedule metadata rides
+    # the small side
     fetched_ok = (
         pages.select("url", "warc_ts", "html")
-        .join(F.broadcast(winners), ["url", "warc_ts"], "inner")
+        .join(_small(winners), ["url", "warc_ts"], "inner")
         .select(*meta_cols, "html")
         .withColumn("status", F.lit(200))
     )
     # 404 branch: selected urls with no capture at all
     missing = (
         selected.join(
-            F.broadcast(winners.select("url_norm", "url_hash")),
+            _small(winners.select("url_norm", "url_hash")),
             ["url_hash", "url_norm"],
             "left_anti",
         )
@@ -226,8 +247,13 @@ def run_crawl(
     seeds: list[str],
     cfg: CrawlConfig,
     resume: bool = False,
+    io=None,
 ) -> CrawlRun:
-    io = ParquetManifestIO(cfg.state_dir)
+    """io: any object honoring the state-IO contract (write/commit/read/
+    read_uncommitted/manifest/committed_rounds/last_committed_round/reset) —
+    ParquetManifestIO by default, IcebergIO on a real cluster (both in
+    sources/io_tables.py)."""
+    io = io if io is not None else ParquetManifestIO(cfg.state_dir)
     run = CrawlRun(io=io)
 
     page_keys = prepare_page_keys(spark, pages).persist()  # narrow, no html
@@ -236,41 +262,51 @@ def run_crawl(
 
     start_round = 0
     if resume:
+        # the round manifest commits frontier+seen+fetch_log atomically, so
+        # frontier's last committed round IS the run's last consistent round
         last = io.last_committed_round("frontier")
         if last is not None:
             start_round = last
+    else:
+        # fence against stale committed rounds from an earlier run reusing
+        # this state_dir (they would otherwise union into read_seen/
+        # read_fetch_log silently)
+        io.reset()
     if start_round == 0:
         frontier, seen = init_frontier(spark, seeds, cfg)
         io.write("frontier", 0, frontier)
         # `seen` is stored as per-round DELTAS (round=N holds only the URLs
         # first seen in round N): writes are O(new), never O(total) — the
         # snapshot-rewrite alternative re-writes the whole 10^10-key set
-        # every round.  Readers union committed deltas; Iceberg backend
-        # compacts them natively.
+        # every round.  Readers union the latest compacted snapshot plus the
+        # ≤K tail deltas (see read_seen_up_to); Iceberg backend compacts
+        # natively.
         io.write("seen", 0, seen.repartition(cfg.n_parts, "url_hash"))
-        io.commit(0, {"frontier": frontier.count(), "seen": seen.count()})
-
-    def seen_up_to(rnd_inclusive: int) -> DataFrame:
-        dfs = [io.read(spark, "seen", r) for r in range(0, rnd_inclusive + 1)]
-        out = dfs[0]
-        for df in dfs[1:]:
-            out = out.unionByName(df)
-        return out
-
-    # incremental bloom sidecar: fixed geometry, OR'd per round
-    sidecar: dict[int, tuple[int, int, bytes]] = {}
-    if cfg.use_bloom:
-        sidecar = bloom.build_delta_sidecar(
-            seen_up_to(start_round), cfg.n_parts,
+        tables = {"frontier": frontier.count(), "seen": seen.count()}
+        if cfg.use_bloom:
+            # the bloom sidecar is itself a committed state table: resume
+            # reads it back in O(P) instead of rebuilding from the seen set
+            io.write("bloom", 0, bloom.delta_bitmaps_df(
+                io.read_uncommitted(spark, "seen", 0), cfg.n_parts,
+                cfg.bloom_bits_per_part, cfg.bloom_hashes,
+            ))
+            tables["bloom"] = cfg.n_parts
+        io.commit(0, tables)
+    elif cfg.use_bloom and io.last_committed_round("bloom") != start_round:
+        # resumed state from an engine version (or run) without the bloom
+        # table: rebuild once from seen, commit at start_round (merge-commit)
+        io.write("bloom", start_round, bloom.delta_bitmaps_df(
+            read_seen_up_to(spark, io, start_round), cfg.n_parts,
             cfg.bloom_bits_per_part, cfg.bloom_hashes,
-        )
+        ))
+        io.commit(start_round, {"bloom": cfg.n_parts})
 
     for rnd in range(start_round + 1, cfg.rounds + 1):
         t0 = time.monotonic()
         m = RoundMetrics(round=rnd)
         round_persists: list[DataFrame] = []
         frontier = io.read(spark, "frontier", rnd - 1)
-        seen = seen_up_to(rnd - 1)
+        seen = read_seen_up_to(spark, io, rnd - 1)
         if frontier.isEmpty():
             break
 
@@ -279,9 +315,19 @@ def run_crawl(
         selected = schedule_round(gated, cfg.round_budget_s).persist()
         leftover = leftover_after_schedule(gated, selected)
 
-        # F5 — shuffle-free fetch: broadcast the quota-bounded selected set
-        # through the narrow key index; html streams scan → UDF
-        fetched = fetch_join_round(spark, pages, page_keys, selected)
+        # F5 — adaptive fetch: broadcast the quota-bounded selected set while
+        # small (html never exchanged at all); past the gate, shuffled hash
+        # joins on narrow keys.  The cheap bound (last round's committed
+        # frontier row count, free from the manifest) avoids an extra job in
+        # the common case; only when the frontier outgrows the gate do we pay
+        # one count() on the (persisted) selected set for an exact decision.
+        sel_bound = io.manifest("frontier", rnd - 1)["rows"]
+        if sel_bound > cfg.fetch_broadcast_max_rows:
+            sel_bound = selected.count()
+        broadcast_ok = sel_bound <= cfg.fetch_broadcast_max_rows
+        fetched = fetch_join_round(
+            spark, pages, page_keys, selected, broadcast_selected=broadcast_ok
+        )
 
         # F8+F9 fused — ONE parse per page produces text AND links; persisted
         # WITHOUT the html payload so both downstream consumers (lineage sink,
@@ -340,11 +386,24 @@ def run_crawl(
 
         # F3 — bloom prefilter (definite-negatives skip the exact anti-join),
         # then exact left_anti vs seen, both sides partitioned by url_hash.
+        bloom_bcast = None
         if cfg.use_bloom:
-            maybe_seen_udf = bloom.make_maybe_seen_udf(spark, sidecar, cfg.n_parts)
-            flagged = candidates.withColumn(
-                "maybe_seen", maybe_seen_udf("url_hash", "h2")
-            ).persist()
+            bloom_prev = io.read(spark, "bloom", rnd - 1)
+            sidecar_bytes = cfg.n_parts * (cfg.bloom_bits_per_part // 8)
+            if sidecar_bytes <= cfg.bloom_broadcast_max_bytes:
+                # small sidecar: one broadcast, destroyed at round end
+                maybe_seen_udf, bloom_bcast = bloom.make_maybe_seen_udf(
+                    spark, bloom.collect_sidecar(bloom_prev), cfg.n_parts
+                )
+                flagged = candidates.withColumn(
+                    "maybe_seen", maybe_seen_udf("url_hash", "h2")
+                ).persist()
+            else:
+                # large sidecar: cogroup on part_id — each task receives only
+                # its buckets' bitmaps, never the whole sidecar
+                flagged = bloom.flag_maybe_seen_cogrouped(
+                    candidates, bloom_prev, cfg.n_parts
+                ).persist()
             round_persists.append(flagged)
             cstats = flagged.agg(
                 F.count("*").alias("n"),
@@ -387,27 +446,46 @@ def run_crawl(
 
         io.write("frontier", rnd, next_frontier)
         io.write("seen", rnd, seen_delta.repartition(cfg.n_parts, "url_hash"))
-        if cfg.use_bloom:
-            sidecar = bloom.merge_sidecars(
-                sidecar,
-                bloom.build_delta_sidecar(
-                    io.read_uncommitted(spark, "seen", rnd), cfg.n_parts,
-                    cfg.bloom_bits_per_part, cfg.bloom_hashes,
-                ),
-            )
-        # count from the files just written — never recompute round lineage
-        n_frontier = io.read_uncommitted(spark, "frontier", rnd).count()
-        m.wall_s = time.monotonic() - t0
-        io.commit(rnd, {
-            "frontier": n_frontier,
+        tables = {
+            "frontier": None,  # filled below from the written files
             "seen": m.urls_new,  # delta count; snapshot is full
             "fetch_log": m.urls_selected,
-        })
+        }
+        if cfg.use_bloom:
+            # distributed sidecar maintenance: previous rows ∪ this round's
+            # delta bitmaps, OR'd per bucket — O(new) work + ≤2P-row shuffle
+            io.write("bloom", rnd, bloom.merge_bitmaps_df(
+                bloom_prev.unionByName(bloom.delta_bitmaps_df(
+                    io.read_uncommitted(spark, "seen", rnd), cfg.n_parts,
+                    cfg.bloom_bits_per_part, cfg.bloom_hashes,
+                ))
+            ))
+            tables["bloom"] = cfg.n_parts
+        if cfg.seen_compact_every and rnd % cfg.seen_compact_every == 0:
+            # compaction: one full snapshot so seen readers union ≤K+1 files
+            # instead of O(rounds); committed atomically with the round
+            snapshot = seen.unionByName(io.read_uncommitted(spark, "seen", rnd))
+            io.write(
+                "seen_snapshot", rnd, snapshot.repartition(cfg.n_parts, "url_hash")
+            )
+            tables["seen_snapshot"] = io.read_uncommitted(
+                spark, "seen_snapshot", rnd
+            ).count()
+        # count from the files just written — never recompute round lineage
+        n_frontier = io.read_uncommitted(spark, "frontier", rnd).count()
+        tables["frontier"] = n_frontier
+        m.wall_s = time.monotonic() - t0
+        io.commit(rnd, tables)
         run.metrics.append(m)
         run.rounds_run = rnd
 
         for df in (gated, selected, enriched, new_frontier_rows, *round_persists):
             df.unpersist()
+        if bloom_bcast is not None:
+            # all round outputs are committed — free this round's sidecar
+            # broadcast so driver/executor memory stays O(1 sidecar), not
+            # O(rounds × sidecar)
+            bloom_bcast.destroy()
         if n_frontier == 0:
             break
 
@@ -433,13 +511,10 @@ def run_crawl(
 
 def read_fetch_log(spark: SparkSession, io: ParquetManifestIO,
                    up_to_round: int) -> DataFrame:
-    dfs = []
-    for rnd in range(1, up_to_round + 1):
-        if io.last_committed_round("fetch_log") is not None:
-            try:
-                dfs.append(io.read(spark, "fetch_log", rnd))
-            except FileNotFoundError:
-                break
+    """Union of fetch_log rounds 1..up_to_round.  A gap (a round in range
+    that was never committed) raises instead of silently truncating — the
+    commit protocol guarantees contiguity, so a hole means corruption."""
+    dfs = [io.read(spark, "fetch_log", rnd) for rnd in range(1, up_to_round + 1)]
     if not dfs:
         raise FileNotFoundError("no committed fetch_log rounds")
     out = dfs[0]
@@ -448,12 +523,27 @@ def read_fetch_log(spark: SparkSession, io: ParquetManifestIO,
     return out
 
 
+def read_seen_up_to(spark: SparkSession, io: ParquetManifestIO,
+                    rnd_inclusive: int) -> DataFrame:
+    """The full seen set as of a round: the latest committed compacted
+    snapshot ≤ rnd plus the tail deltas after it — bounded read fan-in
+    (≤ seen_compact_every + 1 files) regardless of how many rounds the
+    crawl has run."""
+    snaps = [s for s in io.committed_rounds("seen_snapshot") if s <= rnd_inclusive]
+    if snaps:
+        out = io.read(spark, "seen_snapshot", snaps[-1])
+        start = snaps[-1] + 1
+    else:
+        out = io.read(spark, "seen", 0)
+        start = 1
+    for r in range(start, rnd_inclusive + 1):
+        out = out.unionByName(io.read(spark, "seen", r))
+    return out
+
+
 def read_seen(spark: SparkSession, io: ParquetManifestIO) -> DataFrame:
-    """Union of all committed per-round seen deltas (= the full seen set)."""
+    """The full committed seen set (snapshot + tail deltas)."""
     last = io.last_committed_round("seen")
     if last is None:
         raise FileNotFoundError("no committed seen rounds")
-    out = io.read(spark, "seen", 0)
-    for rnd in range(1, last + 1):
-        out = out.unionByName(io.read(spark, "seen", rnd))
-    return out
+    return read_seen_up_to(spark, io, last)

@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # runtime (injected) bloom filter: on the non-broadcast fetch path
+        # the pages⋈winners shuffle gets a bloom built from the winners'
+        # join keys, pruning unmatched html rows BEFORE the exchange — the
+        # shuffled bytes become O(fetched html), not O(all html)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -4,11 +4,14 @@ Two backends behind one interface:
 
 - **ParquetManifestIO** (default; the only one runnable in this sandbox —
   no Iceberg jars exist offline): each round's snapshot of each state table
-  is written to ``<root>/<table>/round=N/`` and made visible by writing a
-  ``_COMMITTED.json`` manifest LAST (row count + schema).  A reader resolves
-  the latest round whose manifest exists, so a crash mid-write is invisible:
-  resume re-runs from the last committed round (the Spark analogue of the
-  reference frontier's save-file sync — crawler/frontier.py::add_url's
+  is written to ``<root>/<table>/round=N/``; visibility comes from ONE
+  round-level manifest ``<root>/_commits/round=N.json`` listing every table
+  committed in that round, published LAST by atomic rename.  A single
+  manifest covering all of a round's tables makes the round commit atomic
+  ACROSS tables: a crash between the frontier/seen/fetch_log writes leaves
+  no manifest, so resume re-runs the whole round — there is no state where
+  some tables of round N are visible and others are not (the Spark analogue
+  of the reference frontier's save-file sync — crawler/frontier.py::add_url's
   ``save.sync()``, UNVERIFIED, SURVEY §2 F10).
 
 - **IcebergIO** (real cluster): same interface over an Iceberg catalog —
@@ -31,7 +34,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-COMMIT_MARKER = "_COMMITTED.json"
+COMMITS_DIR = "_commits"
 
 
 @dataclass
@@ -41,6 +44,19 @@ class ParquetManifestIO:
     def _round_dir(self, table: str, rnd: int) -> str:
         return os.path.join(self.root, table, f"round={rnd}")
 
+    def _manifest_path(self, rnd: int) -> str:
+        return os.path.join(self.root, COMMITS_DIR, f"round={rnd}.json")
+
+    def reset(self) -> None:
+        """Fence a fresh (resume=False) run against stale state from an
+        earlier run of the same state_dir: without this, a shorter re-run
+        would leave higher committed rounds behind and readers keyed on
+        last_committed_round would silently union stale deltas."""
+        import shutil
+
+        if os.path.isdir(self.root):
+            shutil.rmtree(self.root)
+
     def write(self, table: str, rnd: int, df: DataFrame) -> int:
         """Write a full snapshot for (table, round); NOT yet visible."""
         path = self._round_dir(table, rnd)
@@ -48,39 +64,54 @@ class ParquetManifestIO:
         return rnd
 
     def commit(self, rnd: int, tables: dict[str, int]) -> None:
-        """Publish all tables written for this round atomically-enough:
-        manifests are written only after every table's data files exist, and
-        readers require the manifest.  tables maps name -> row_count."""
-        for table, n_rows in tables.items():
-            manifest = {
-                "table": table,
-                "round": rnd,
-                "rows": n_rows,
-                "committed_at": time.time(),
-            }
-            path = os.path.join(self._round_dir(table, rnd), COMMIT_MARKER)
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-            os.replace(tmp, path)  # atomic rename = the commit point
+        """Publish ALL tables written for this round with ONE atomic rename
+        of the round manifest — the cross-table commit point.  A crash before
+        this line leaves every table of the round invisible; a crash after it
+        leaves every table visible.  tables maps name -> row_count.  Calling
+        commit again for the same round (e.g. the end-of-run metrics table)
+        merges into the existing manifest — still a single atomic rename."""
+        manifest = {"round": rnd, "tables": dict(tables), "committed_at": time.time()}
+        path = self._manifest_path(rnd)
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+            manifest["tables"] = {**prev.get("tables", {}), **manifest["tables"]}
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, path)  # atomic rename = the commit point
 
-    def last_committed_round(self, table: str) -> int | None:
-        base = os.path.join(self.root, table)
-        if not os.path.isdir(base):
+    def _round_manifest(self, rnd: int) -> dict | None:
+        try:
+            with open(self._manifest_path(rnd)) as f:
+                return json.load(f)
+        except FileNotFoundError:
             return None
+
+    def committed_rounds(self, table: str) -> list[int]:
+        """Sorted rounds in which `table` was committed."""
+        base = os.path.join(self.root, COMMITS_DIR)
+        if not os.path.isdir(base):
+            return []
         rounds = []
         for entry in os.listdir(base):
-            if entry.startswith("round="):
-                rnd = int(entry.split("=", 1)[1])
-                if os.path.exists(os.path.join(base, entry, COMMIT_MARKER)):
+            if entry.startswith("round=") and entry.endswith(".json"):
+                rnd = int(entry[len("round="):-len(".json")])
+                m = self._round_manifest(rnd)
+                if m and table in m.get("tables", {}):
                     rounds.append(rnd)
-        return max(rounds) if rounds else None
+        return sorted(rounds)
+
+    def last_committed_round(self, table: str) -> int | None:
+        rounds = self.committed_rounds(table)
+        return rounds[-1] if rounds else None
 
     def read(self, spark: SparkSession, table: str, rnd: int) -> DataFrame:
-        path = self._round_dir(table, rnd)
-        if not os.path.exists(os.path.join(path, COMMIT_MARKER)):
+        m = self._round_manifest(rnd)
+        if m is None or table not in m.get("tables", {}):
             raise FileNotFoundError(f"round {rnd} of {table} was never committed")
-        return spark.read.parquet(path)
+        return spark.read.parquet(self._round_dir(table, rnd))
 
     def read_uncommitted(self, spark: SparkSession, table: str, rnd: int) -> DataFrame:
         """Read data written this round BEFORE its commit (writer-side only:
@@ -88,30 +119,171 @@ class ParquetManifestIO:
         return spark.read.parquet(self._round_dir(table, rnd))
 
     def manifest(self, table: str, rnd: int) -> dict:
-        with open(os.path.join(self._round_dir(table, rnd), COMMIT_MARKER)) as f:
-            return json.load(f)
+        """Per-table manifest view (rows + commit time) from the round
+        manifest; raises FileNotFoundError if (table, round) is uncommitted."""
+        m = self._round_manifest(rnd)
+        if m is None or table not in m.get("tables", {}):
+            raise FileNotFoundError(f"round {rnd} of {table} was never committed")
+        return {
+            "table": table,
+            "round": rnd,
+            "rows": m["tables"][table],
+            "committed_at": m["committed_at"],
+        }
+
+
+# marker column carrying the state round inside each Iceberg table; named to
+# never collide with payload columns (fetch_log has its own `round`)
+STATE_ROUND_COL = "_state_round"
 
 
 class IcebergIO:
-    """Iceberg backend sketch (requires iceberg-spark-runtime on the
-    classpath — unavailable in this sandbox; see module docstring).  Same
-    interface: round snapshots become Iceberg snapshots on one table, and
-    resume = read the table (latest committed snapshot) filtered by the max
-    committed round column."""
+    """State-table IO over ONE Iceberg table per state name + a `_commits`
+    ledger table — the same contract as ParquetManifestIO:
 
-    def __init__(self, catalog: str, namespace: str):
-        self.prefix = f"{catalog}.{namespace}"
+    - ``write(table, rnd, df)`` replaces the ``_state_round = rnd`` slice of
+      ``<table>`` (idempotent: re-running an uncommitted round overwrites
+      its own leftovers, exactly like the parquet backend's
+      mode("overwrite") round directory).
+    - ``commit(rnd, tables)`` appends ONE row to the ``_commits`` ledger —
+      a single atomic Iceberg snapshot commit is the cross-table publish
+      point, mirroring the parquet backend's single manifest rename.
+      Re-committing the same round (metrics) appends a superseding row with
+      the merged table map; the highest seq per round wins.
+    - readers resolve rounds from the ledger only, so data appended without
+      a ledger row is invisible (crash-mid-round safety).
 
-    def write(self, table: str, rnd: int, df: DataFrame) -> int:
-        df.writeTo(f"{self.prefix}.{table}_r{rnd}").createOrReplace()
-        return rnd
+    All backend-specific calls are behind a tiny `store` object so this
+    logic is unit-testable offline (tests/test_iceberg_io.py runs the whole
+    contract — and the full crawl engine — against an in-memory store);
+    SparkIcebergStore below is the real-catalog binding (requires
+    iceberg-spark-runtime jars, unavailable in this sandbox)."""
+
+    COMMITS_TABLE = "_commits"
+    _COMMITS_SCHEMA = "rnd int, seq int, tables_json string, committed_at double"
+
+    def __init__(self, store):
+        self.store = store
+
+    # -- commit ledger ---------------------------------------------------------
+
+    def _commit_map(self) -> dict[int, dict[str, int]]:
+        """round → merged {table: rows} from the latest ledger row per round."""
+        try:
+            rows = self.store.read(self.COMMITS_TABLE).collect()
+        except FileNotFoundError:
+            return {}
+        latest: dict[int, tuple[int, str]] = {}
+        for r in rows:
+            if r.rnd not in latest or r.seq > latest[r.rnd][0]:
+                latest[r.rnd] = (r.seq, r.tables_json)
+        return {rnd: json.loads(tj) for rnd, (_, tj) in latest.items()}
 
     def commit(self, rnd: int, tables: dict[str, int]) -> None:
-        # Iceberg's snapshot commit IS the atomic publish; nothing extra.
-        pass
+        commits = self._commit_map()
+        merged = {**commits.get(rnd, {}), **tables}
+        seq = len(self.store.read_or_none(self.COMMITS_TABLE) or [])
+        self.store.append_rows(
+            self.COMMITS_TABLE,
+            [(rnd, seq, json.dumps(merged), time.time())],
+            self._COMMITS_SCHEMA,
+        )
 
-    def last_committed_round(self, table: str) -> int | None:
-        raise NotImplementedError("requires a live Iceberg catalog")
+    # -- data ------------------------------------------------------------------
+
+    def write(self, table: str, rnd: int, df: DataFrame) -> int:
+        from pyspark.sql import functions as F
+
+        self.store.replace_round(
+            table, rnd, df.withColumn(STATE_ROUND_COL, F.lit(rnd))
+        )
+        return rnd
 
     def read(self, spark: SparkSession, table: str, rnd: int) -> DataFrame:
-        return spark.table(f"{self.prefix}.{table}_r{rnd}")
+        m = self._commit_map().get(rnd)
+        if m is None or table not in m:
+            raise FileNotFoundError(f"round {rnd} of {table} was never committed")
+        return self.read_uncommitted(spark, table, rnd)
+
+    def read_uncommitted(self, spark: SparkSession, table: str, rnd: int) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        df = self.store.read(table)
+        return df.filter(F.col(STATE_ROUND_COL) == rnd).drop(STATE_ROUND_COL)
+
+    # -- round resolution ------------------------------------------------------
+
+    def committed_rounds(self, table: str) -> list[int]:
+        return sorted(
+            rnd for rnd, tables in self._commit_map().items() if table in tables
+        )
+
+    def last_committed_round(self, table: str) -> int | None:
+        rounds = self.committed_rounds(table)
+        return rounds[-1] if rounds else None
+
+    def manifest(self, table: str, rnd: int) -> dict:
+        m = self._commit_map().get(rnd)
+        if m is None or table not in m:
+            raise FileNotFoundError(f"round {rnd} of {table} was never committed")
+        return {"table": table, "round": rnd, "rows": m[table]}
+
+    def reset(self) -> None:
+        self.store.drop_all()
+
+
+class SparkIcebergStore:
+    """Real-catalog binding for IcebergIO (thin by design — everything
+    testable lives in IcebergIO).  Activate with
+    ``spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13
+    --conf spark.sql.catalog.cr=org.apache.iceberg.spark.SparkCatalog ...``
+    then ``IcebergIO(SparkIcebergStore(spark, "cr", "crawl"))``."""
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str):
+        self.spark = spark
+        self.prefix = f"{catalog}.{namespace}"
+
+    def _fq(self, name: str) -> str:
+        return f"{self.prefix}.{name}"
+
+    def _exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self._fq(name))
+
+    def _create(self, name: str, df: DataFrame) -> None:
+        from pyspark.sql import functions as F
+
+        writer = df.writeTo(self._fq(name))
+        if STATE_ROUND_COL in df.columns:
+            writer = writer.partitionedBy(F.col(STATE_ROUND_COL))
+        writer.create()
+
+    def append_rows(self, name: str, rows: list, schema: str) -> None:
+        df = self.spark.createDataFrame(rows, schema)
+        if self._exists(name):
+            df.writeTo(self._fq(name)).append()
+        else:
+            self._create(name, df)
+
+    def replace_round(self, name: str, rnd: int, df: DataFrame) -> None:
+        if self._exists(name):
+            # replaces exactly the _state_round=rnd partition — one atomic
+            # Iceberg snapshot
+            df.writeTo(self._fq(name)).overwritePartitions()
+        else:
+            self._create(name, df)
+
+    def read(self, name: str) -> DataFrame:
+        if not self._exists(name):
+            raise FileNotFoundError(name)
+        return self.spark.table(self._fq(name))
+
+    def read_or_none(self, name: str):
+        try:
+            return self.read(name).collect()
+        except FileNotFoundError:
+            return None
+
+    def drop_all(self) -> None:
+        ns = self.prefix.split(".", 1)[1]
+        for t in self.spark.catalog.listTables(ns):
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.prefix}.{t.name}")

@@ -35,21 +35,25 @@ CANDIDATE_SCHEMA = T.StructType([
 ])
 
 _DEDUP_OUT_SCHEMA = "url_norm string, url_hash bigint, bucket int"
-_DEDUP_STATE_SCHEMA = "seen array<bigint>"
+# State holds the FULL url_norm keys, not just the 64-bit hash: an xxhash64
+# collision must never drop a distinct URL — the batch path anti-joins on
+# (url_hash, url_norm) and the streaming path must agree at any scale.  The
+# bucket key already routes by pmod(url_hash, P), so per-bucket state stays
+# 1/P of the seen set.
+_DEDUP_STATE_SCHEMA = "seen array<string>"
 
 
 def _dedup_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    seen: set[int] = set(state.get[0]) if state.exists else set()
+    seen: set[str] = set(state.get[0]) if state.exists else set()
     for pdf in pdfs:
         fresh_mask = []
-        for h in pdf["url_hash"]:
-            h = int(h)
-            if h in seen:
+        for u in pdf["url_norm"]:
+            if u in seen:
                 fresh_mask.append(False)
             else:
-                seen.add(h)
+                seen.add(u)
                 fresh_mask.append(True)
         out = pdf[fresh_mask]
         if len(out):

@@ -101,3 +101,18 @@ def test_crawl_fetch_join_broadcasts_and_never_shuffles_html(spark):
     gated = robots_gate(selected.drop("fetch_seq", "due_s", "crawl_delay"),
                         build_robots_rules(pages))
     assert "BroadcastExchange" in _plan(gated)
+
+    # adaptive fallback (selected set past broadcast size): shuffled hash
+    # joins on narrow keys — no broadcast of the selected/winner sides, and
+    # html still never appears in any hashpartitioning clause
+    import re
+
+    shuffle_plan = _plan(
+        fetch_join_round(spark, pages, keys, selected, broadcast_selected=False)
+    )
+    assert "ShuffledHashJoin" in shuffle_plan, shuffle_plan[:2000]
+    assert "BroadcastHashJoin" not in shuffle_plan
+    parts = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", shuffle_plan)
+    assert parts, "expected shuffle exchanges in the fallback plan"
+    for clause in parts:
+        assert "html" not in clause, clause

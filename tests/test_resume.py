@@ -74,3 +74,116 @@ def test_uncommitted_round_is_invisible(spark, tiny, tmp_path_factory):
     assert io.last_committed_round("frontier") == last
     with pytest.raises(FileNotFoundError):
         io.read(spark, "frontier", last + 1)
+
+
+def test_round_commit_is_atomic_across_tables(spark, tiny, tmp_path_factory):
+    """A crash between a round's table writes must leave NO table of that
+    round visible: one round-level manifest is the single commit point, so
+    partially-written rounds (e.g. frontier+seen written, fetch_log not)
+    cannot be observed — the failure mode ADVICE flagged for per-table
+    manifests."""
+    from spacetime_crawler_spark.sources.io_tables import ParquetManifestIO
+
+    run1, state_dir = _run(spark, tiny, tmp_path_factory.mktemp("at"), 2)
+    io = ParquetManifestIO(state_dir)
+    last = io.last_committed_round("frontier")
+    # crash scenario: round last+1 wrote two of three tables, no commit
+    df = io.read(spark, "frontier", last)
+    io.write("frontier", last + 1, df)
+    io.write("seen", last + 1, io.read(spark, "seen", last))
+    for table in ("frontier", "seen", "fetch_log"):
+        assert io.last_committed_round(table) <= last
+        with pytest.raises(FileNotFoundError):
+            io.read(spark, table, last + 1)
+    # a later commit for the same round merges tables into one manifest
+    io.commit(last + 1, {"frontier": 1})
+    io.commit(last + 1, {"seen": 2})
+    assert io.manifest("frontier", last + 1)["rows"] == 1
+    assert io.manifest("seen", last + 1)["rows"] == 2
+
+
+def test_seen_compaction_long_run(spark, tmp_path_factory):
+    """A ≥15-round crawl with compaction every 4 rounds: (1) snapshots are
+    actually written, (2) read fan-in is bounded by K+1 regardless of round
+    count, (3) outputs are identical to the compaction-disabled engine, and
+    (4) resume across a compaction boundary is exact."""
+    from spacetime_crawler_spark.plans.crawl import read_seen_up_to
+
+    p = synth.world("tiny", n_pages=900)
+    pages = synth.generate_pages_df(spark, p).persist()
+    seeds = synth.seed_urls(p)[:2]  # small seed set + tiny budget → slow BFS
+    rounds = 15
+
+    def go(tmp, k, n_rounds, resume=False, state_dir=None):
+        cfg = CrawlConfig(state_dir=state_dir or str(tmp), rounds=n_rounds,
+                          round_budget_s=1.0, seen_compact_every=k)
+        return run_crawl(spark, pages, seeds, cfg, resume=resume)
+
+    run_c = go(tmp_path_factory.mktemp("compact"), 4, rounds)
+    assert run_c.rounds_run == rounds, "world too small to sustain 15 rounds"
+    snaps = run_c.io.committed_rounds("seen_snapshot")
+    assert snaps == [4, 8, 12]
+
+    # fan-in bound: count the parquet reads read_seen performs
+    reads = []
+    orig_read = run_c.io.read
+
+    def counting_read(spark_, table, rnd):
+        reads.append((table, rnd))
+        return orig_read(spark_, table, rnd)
+
+    run_c.io.read = counting_read
+    seen_c = sorted(
+        (r.url_norm, r.round_seen)
+        for r in crawl_mod.read_seen(spark, run_c.io).collect()
+    )
+    run_c.io.read = orig_read
+    assert len(reads) <= 4 + 1, reads  # snapshot + ≤K tail deltas
+
+    run_u = go(tmp_path_factory.mktemp("uncompacted"), 0, rounds)
+    seen_u = sorted(
+        (r.url_norm, r.round_seen)
+        for r in crawl_mod.read_seen(spark, run_u.io).collect()
+    )
+    assert seen_c == seen_u
+    assert (_final_state(spark, run_c.io, rounds)
+            == _final_state(spark, run_u.io, rounds))
+
+    # resume across a compaction boundary (interrupt at 6, snapshots at 4/8/12)
+    run_a = go(tmp_path_factory.mktemp("part15"), 4, 6)
+    state_dir = run_a.io.root
+    run_b = go(None, 4, rounds, resume=True, state_dir=state_dir)
+    assert (_final_state(spark, run_b.io, run_b.rounds_run)
+            == _final_state(spark, run_c.io, rounds))
+    pages.unpersist()
+
+
+def test_adaptive_fetch_join_shuffle_path_equivalent(spark, tiny, tmp_path_factory):
+    """Forcing the non-broadcast fetch join (fetch_broadcast_max_rows=0)
+    must leave every committed output byte-identical — it is a physical
+    strategy, not a semantics change."""
+    run_b, _ = _run(spark, tiny, tmp_path_factory.mktemp("bcast"), 3)
+    p, pages, seeds = tiny
+    cfg = CrawlConfig(state_dir=str(tmp_path_factory.mktemp("shuf")), rounds=3,
+                      round_budget_s=BUDGET, fetch_broadcast_max_rows=0)
+    run_s = run_crawl(spark, pages, seeds, cfg)
+    assert (_final_state(spark, run_s.io, run_s.rounds_run)
+            == _final_state(spark, run_b.io, run_b.rounds_run))
+
+
+def test_fresh_run_fences_stale_state(spark, tiny, tmp_path_factory):
+    """resume=False in a reused state_dir must not leak committed rounds
+    from the earlier (longer) run into read_seen/read_fetch_log."""
+    tmp = tmp_path_factory.mktemp("fence")
+    run_long, state_dir = _run(spark, tiny, tmp, ROUNDS)
+    assert run_long.rounds_run == ROUNDS
+    run_short, _ = _run(spark, tiny, None, 2, state_dir=state_dir)
+    assert run_short.rounds_run == 2
+    assert run_short.io.last_committed_round("fetch_log") == 2
+    seen_rounds = {r.round_seen for r in
+                   crawl_mod.read_seen(spark, run_short.io).collect()}
+    assert max(seen_rounds) <= 2
+    # and the short run's state equals a clean-dir short run's state
+    run_clean, _ = _run(spark, tiny, tmp_path_factory.mktemp("clean"), 2)
+    assert (_final_state(spark, run_short.io, 2)
+            == _final_state(spark, run_clean.io, 2))

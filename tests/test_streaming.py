@@ -43,6 +43,27 @@ def test_streaming_dedup_exact(spark, tmp_path):
     assert len(got) == len(set(got)) == 300  # exact dedup, no losses
 
 
+def test_streaming_dedup_survives_hash_collision():
+    """Two DISTINCT urls with the SAME url_hash must both be emitted — state
+    keys on url_norm, so a 64-bit hash collision can never drop a URL (the
+    batch anti-join on (url_hash, url_norm) has the same guarantee)."""
+    import pandas as pd
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    pdf = pd.DataFrame({
+        "url_norm": ["http://a.com/x", "http://b.com/y", "http://a.com/x"],
+        "url_hash": [42, 42, 42],  # forced collision + one true dup
+        "bucket": [0, 0, 0],
+    })
+    out = pd.concat(list(fs._dedup_fn((0,), iter([pdf]), FakeState())))
+    assert sorted(out["url_norm"]) == ["http://a.com/x", "http://b.com/y"]
+
+
 def test_streaming_dedup_state_survives_batches(spark, tmp_path):
     """Same URL in two separate micro-batch files → emitted once (GroupState
     persistence across triggers)."""
