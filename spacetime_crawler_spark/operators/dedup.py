@@ -29,6 +29,17 @@ _DUCK_TOKENS = (
 _JACCARD_THRESHOLD = 0.5
 _DEDUP_DOC_LIMIT = 1000  # bound the all-pairs verify at bench scale
 
+# Hot-key frequency caps — the self-join quadratic guards.  A shingle shared
+# by f docs contributes f·(f−1)/2 candidate rows: boilerplate (a footer on
+# 10^7 pages) makes one key quadratic at corpus scale.  Keys above the cap
+# are dropped from CANDIDATE GENERATION only — scores still come from the
+# full shingle sets, so surviving pairs keep their exact Jaccard.  The
+# traded-away recall is precisely "pairs whose only overlap is boilerplate",
+# which near-dup dedup wants to ignore anyway (the cap is the standard move
+# in MinHash pipelines, e.g. spark.ml MinHashLSH users bound bucket sizes).
+SHINGLE_DF_CAP = 100  # max docs a shingle may appear in and still seed pairs
+LSH_BUCKET_CAP = 50  # max docs per (band, bucket) joined all-pairs
+
 # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — short docs
 # must be guarded explicitly (DuckDB's generate_series(1, 0) is []).
 # Two-step projection (tokens first, shingles from the `toks` column) so the
@@ -86,40 +97,35 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1
 
 # --- n-gram Jaccard (exact verify path) ----------------------------------------
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < _DEDUP_DOC_LIMIT
-    )
+def _shingle_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, shingles ARRAY<STRING>)."""
     return docs.select(
         "doc_id", F.expr(_SPARK_TOKENS).alias("toks")
     ).select("doc_id", F.expr(_SPARK_SHINGLES_FROM_TOKS).alias("shingles"))
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard over distinct word-bigram shingles via an inverted-index
-    self-join (explode → equi-join on shingle → count common), NOT a cross
-    join: candidate pairs are only those sharing ≥1 shingle.  This is the
-    ground-truth verifier that MinHash candidates are checked against."""
-    sh = _shingled(spark, sf_dir).persist()  # consumed by sizes + explode
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shingle_docs(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < _DEDUP_DOC_LIMIT
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+
+
+def _score_candidates(candidates: DataFrame, sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidates → exact Jaccard from the FULL shingle sets
+    (scores are never affected by candidate-generation caps)."""
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
-        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
                 F.col("common")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common")),
+                / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
                 4,
             ),
         )
@@ -128,24 +134,68 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame, shingle_df_cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs over any (doc_id, text) DataFrame via an
+    inverted-index self-join (explode → equi-join on shingle), NOT a cross
+    join: candidate pairs are only those sharing ≥1 shingle WITH document
+    frequency ≤ shingle_df_cap (hot boilerplate shingles are excluded from
+    pair generation — see SHINGLE_DF_CAP — so no key ever goes quadratic).
+    Scores come from the full shingle sets.  This is the ground-truth
+    verifier that MinHash candidates are checked against."""
+    sh = _shingle_docs(docs).persist()  # consumed by index + both score sides
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    hot = (
+        exploded.groupBy("s").agg(F.count("*").alias("df"))
+        .filter(F.col("df") > shingle_df_cap)
+        .select("s")
+    )
+    # AQE broadcasts `hot` when it's small (the normal case) without forcing
+    # a broadcast of an unbounded set on adversarial corpora
+    idx = exploded.join(hot, "s", "left_anti")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _score_candidates(candidates, sh)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < _DEDUP_DOC_LIMIT
+        )
+    )
+
+
 DEDUP_NGRAM_JACCARD_SQL = f"""
 WITH d AS (
   SELECT doc_id, {_DUCK_SHINGLES} AS shingles
   FROM documents WHERE doc_id < {_DEDUP_DOC_LIMIT}
 ),
-sz AS (SELECT doc_id, len(shingles) AS n_sh FROM d),
 sh AS (SELECT doc_id, unnest(shingles) AS s FROM d),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {SHINGLE_DF_CAP}),
+idx AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(da.shingles, db.shingles)) AS common,
+         len(da.shingles) AS n_a, len(db.shingles) AS n_b
+  FROM cand
+  JOIN d da ON da.doc_id = doc_a
+  JOIN d db ON db.doc_id = doc_b
 )
 SELECT doc_a, doc_b,
-       ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
-FROM pairs
-JOIN sz sa ON sa.doc_id = doc_a
-JOIN sz sb ON sb.doc_id = doc_b
-WHERE ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 4) >= {_JACCARD_THRESHOLD}
+       ROUND(common * 1.0 / (n_a + n_b - common), 4) AS jaccard
+FROM scored
+WHERE ROUND(common * 1.0 / (n_a + n_b - common), 4) >= {_JACCARD_THRESHOLD}
 """
 
 
@@ -186,17 +236,22 @@ def _minhash_signatures(sh: DataFrame, num_perm: int = MINHASH_NUM_PERM) -> Data
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, verified: signatures → band buckets →
-    bucket equi-join for candidates → exact Jaccard on candidates only.
+def minhash_lsh_pairs(
+    docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs over any (doc_id, text) DataFrame,
+    verified: signatures → band buckets → bucket equi-join for candidates →
+    exact Jaccard on candidates only.
 
-    Scale shape: the only shuffles are (1) the band-bucket groupBy-join,
-    whose fan-in per bucket is tiny for honest data (and salted-skippable
-    for adversarial buckets), and (2) the candidate verify join — both keyed,
-    never all-pairs.  Driver check is rows-only (sketches aren't ANSI SQL);
-    tests/test_dedup.py asserts this returns exactly the same pairs as
-    dedup_ngram_jaccard (recall=1 at threshold 0.5 given the LSH s-curve)."""
-    sh = _shingled(spark, sf_dir).persist()  # consumed 3×: sigs + both verify sides
+    Scale shape: the only shuffles are (1) the band-bucket groupBy-join —
+    buckets larger than bucket_cap (boilerplate collapse: near-identical
+    docs all landing in one bucket) are excluded from the all-pairs join so
+    no bucket goes quadratic (see LSH_BUCKET_CAP) — and (2) the candidate
+    verify join; both keyed, never all-pairs.  Driver check is rows-only
+    (sketches aren't ANSI SQL); tests/test_dedup.py asserts this returns
+    exactly the same pairs as dedup_ngram_jaccard (recall=1 at threshold 0.5
+    given the LSH s-curve)."""
+    sh = _shingle_docs(docs).persist()  # consumed 3×: sigs + both verify sides
     sigs = _minhash_signatures(sh)
     rows_per_band = MINHASH_NUM_PERM // LSH_BANDS
     bands = sigs.select(
@@ -209,8 +264,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    hot = (
+        bands.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .select("band", "bucket")
+    )
+    cold = bands.join(hot, ["band", "bucket"], "left_anti")
+    a = cold.alias("a")
+    b = cold.alias("b")
     candidates = (
         a.join(
             b,
@@ -222,21 +283,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Exact verify on the (small) candidate set only.
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    return (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                4,
-            ),
+    return _score_candidates(candidates, sh)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < _DEDUP_DOC_LIMIT
         )
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 

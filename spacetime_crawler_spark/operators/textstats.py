@@ -110,39 +110,79 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
-# --- language ID heuristic -------------------------------------------------------
+# --- language ID: char-trigram profiles --------------------------------------------
 
-# Tiny pinned marker-word lists per language.  Real lang-ID would use char
-# n-gram profiles; the heuristic keeps the same dataflow shape (score per
-# (doc, lang), argmax) with a deterministic tie-break.
-LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "and", "of", "to", "is", "in", "that", "with"),
-    "es": ("el", "la", "de", "que", "los", "una", "por", "con"),
-    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
-    "zh": ("de5", "shi4", "bu4", "le5", "wo3", "zai4", "you3", "he2"),
+# Pinned character-trigram profiles (space-delimited, lowercase).  Unlike
+# marker WORDS, trigrams generalize to unseen vocabulary — 'ing', ' th',
+# 'sch', 'ción' fragments fire on any text in the language, which is the
+# standard n-gram-profile langid design (Cavnar–Trenkle).  Profiles are
+# deliberately small and pinned (no training data in this sandbox); 'zh'
+# matches the corpus's pinyin-with-tone-digit romanization.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", "ing", "ng ", " an", "and", "nd ", " of",
+           "of ", " to", "to ", " in", "in ", "ion", "tio", "ati", " is",
+           "is ", "ed ", "er ", " be", "ent", "th ", " wi", "wit", "ith",
+           " re", " on", "on ", " it", "at ", " wa", "was", "ere", "ted"),
+    "es": (" de", "de ", " la", "la ", " el", "el ", "que", " qu", "ue ",
+           " co", "os ", "as ", " en", "en ", " se", "ión", "ció", "ón ",
+           " un", "ar ", "ra ", " es", "nte", " po", "por", "or ", "ada",
+           "ado", "los", " lo", "del", "a d", "e l", "o d"),
+    "de": ("der", " de", "die", " di", "ie ", "und", " un", "nd ", "sch",
+           "ch ", "ein", " ei", "ine", "ich", "cht", "ung", "gen", "en ",
+           "das", " da", "as ", "it ", "mit", " mi", " ge", "ver", " ve",
+           "ten", "ber", " be", "eit", "sse", "rch", "wäh", "für"),
+    "fr": (" de", "de ", " le", "le ", "les", " la", "la ", "es ", "ent",
+           "nt ", " et", "et ", " un", "un ", "une", "re ", " qu", "que",
+           "ue ", " pa", "par", " po", "our", "ur ", "ait", " da", "dan",
+           "ans", "eur", "eau", " ce", "est", " ch", "cha", "ai "),
+    "zh": ("de5", "e5 ", "shi", "hi4", "i4 ", "bu4", "u4 ", "le5", "wo3",
+           "o3 ", "zai", "ai4", "you", "ou3", "u3 ", "he2", "e2 ", "ni3",
+           "i3 ", "men", "en5", "n5 ", "ta1", "a1 ", "hao", "ao3", "zhe",
+           "he4", "e4 ", "ge4", "ng2", "ng3", "uo1", "o1 ", "n3 "),
 }
 
+# first 1000 chars are ample signal; bounds per-row HOF cost on huge docs
+_LANGID_PREFIX = 1000
+_LANGID_NORM = (
+    "concat(' ', regexp_replace(lower(substring(coalesce(text, ''), 1,"
+    f" {_LANGID_PREFIX})), '\\\\s+', ' '), ' ')"
+)
+# NB Spark's sequence(1, 0) is DESCENDING [1, 0], never empty — short texts
+# need the explicit guard.
+_LANGID_TRIGRAMS_EXPR = f"""
+  case when length({_LANGID_NORM}) < 3 then array()
+       else transform(sequence(1, length({_LANGID_NORM}) - 2),
+                      i -> substring({_LANGID_NORM}, i, 3)) end
+"""
 
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-hit-count language ID: score(doc, lang) = |tokens ∩ markers|,
-    predict argmax (ties → 'und' unless zero hits everywhere → 'und').
-    Rows-only driver check; unit-tested on handcrafted snippets."""
-    docs = load_table(spark, sf_dir, "documents")
+
+def langid_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, pred_lang, n_hits): occurrence count of
+    each language profile's trigrams over the normalized text prefix, argmax
+    with a pinned tie-break (profile dict order), 'und' on zero hits
+    everywhere.  Pure column expressions — map-only, fully codegen'd."""
+    tg = F.expr(_LANGID_TRIGRAMS_EXPR)
+    scored = docs.select("doc_id", tg.alias("tg"))
     score_cols = [
         F.expr(
-            f"size(filter(array_distinct({_SPARK_TOKENS}),"
-            f" t -> t IN ({', '.join(repr(m) for m in markers)})))"
+            f"size(filter(tg, t -> t IN ({', '.join(repr(t) for t in tgs)})))"
         ).alias(f"score_{lang}")
-        for lang, markers in LANG_MARKERS.items()
+        for lang, tgs in LANG_TRIGRAMS.items()
     ]
-    scored = docs.select("doc_id", *score_cols)
-    langs = list(LANG_MARKERS)
+    scored = scored.select("doc_id", *score_cols)
+    langs = list(LANG_TRIGRAMS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    # argmax with pinned tie-break = dict order of LANG_MARKERS
     pred = F.when(best == 0, F.lit("und"))
     for lang in langs:
         pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
     return scored.select("doc_id", pred.alias("pred_lang"), best.alias("n_hits"))
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID over the documents table.  Rows-only driver
+    check (heuristic argmax isn't ANSI SQL); accuracy is unit-tested on
+    multi-language snippets including vocabulary outside any profile."""
+    return langid_scores(load_table(spark, sf_dir, "documents"))
 
 
 # --- BPE-ish token counting ---------------------------------------------------------

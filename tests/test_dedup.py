@@ -35,6 +35,45 @@ def test_minhash_lsh_matches_exact(spark, exact_pairs):
         assert abs(j - exact_pairs[pair]) < 1e-9
 
 
+def test_hot_shingle_cap_prevents_quadratic_boilerplate(spark):
+    """Adversarial corpus: thousands of docs sharing one boilerplate shingle
+    (the 10^7-page shared-footer scenario).  The frequency cap must keep the
+    inverted-index join from going quadratic — the run completes quickly and
+    still finds the one real near-dup pair that shares NON-hot shingles."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    n = 5000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # every doc shares "shared footer"; each also has unique content
+        F.concat(
+            F.lit("unique"), F.col("id"), F.lit(" words shared footer text"),
+        ).alias("text"),
+    )
+    # plant one true near-dup pair with distinctive (non-hot) overlap
+    planted = spark.createDataFrame(
+        [(n + 1, "alpha beta gamma delta epsilon zeta theta iota kappa mu"),
+         (n + 2, "alpha beta gamma delta epsilon zeta theta iota kappa nu")],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(planted)
+    t0 = time.monotonic()
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(corpus).collect()}
+    wall = time.monotonic() - t0
+    assert (n + 1, n + 2) in pairs
+    # no boilerplate-only pair survives, and no quadratic blowup:
+    # uncapped, the shared shingles alone would seed ~12.5M candidate rows
+    for a, b in pairs:
+        assert not (a <= n and b <= n)
+    assert wall < 120, f"hot-shingle cap failed to bound the join ({wall:.0f}s)"
+
+    lsh_pairs = {(r.doc_a, r.doc_b)
+                 for r in dedup.minhash_lsh_pairs(corpus).collect()}
+    assert (n + 1, n + 2) in lsh_pairs
+
+
 def test_simhash_deterministic_and_locality(spark, exact_pairs):
     sigs = {r.doc_id: r.simhash for r in dedup.dedup_simhash(spark, SF_DIR).collect()}
     sigs2 = {r.doc_id: r.simhash for r in dedup.dedup_simhash(spark, SF_DIR).collect()}

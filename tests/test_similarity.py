@@ -33,34 +33,37 @@ def test_ann_lsh_recall(spark):
     assert overlap >= 2, (exact, approx)
 
 
-def test_langid_marker_snippets(spark, sf_dir):
-    # handcrafted snippets through the same scoring expressions via a temp view
-    import pyspark.sql.functions as F
-
+def test_langid_trigram_snippets_unseen_vocab(spark):
+    """Char-trigram langid must classify snippets whose WORDS appear in no
+    profile — trigram fragments ('ing', 'sch', 'ció', …) generalize where
+    marker-word lists cannot.  Every content word below is outside the old
+    marker lists; several ('wandering', 'ciudad', 'während', 'chantaient')
+    are outside any pinned list entirely."""
     pdf = [
-        (1, "the cat and the dog is in that house with food"),
-        (2, "el perro de la casa que los gatos una vez por aqui con"),
-        (3, "der hund und die katze das ist nicht mit ein haus"),
-        (4, "xyzzy qwerty asdf"),
+        (1, "wandering slowly through ancient streets during the evening rain"),
+        (2, "cuando llegamos a la ciudad encontramos una plaza hermosa del siglo pasado"),
+        (3, "während die kinder durch den wald gingen und leise lieder sangen"),
+        (4, "les enfants marchaient dans la rue et chantaient une chanson douce"),
+        (5, "wo3 men5 zai4 zhe4 li3 you3 hen3 duo1 hao3 peng2 you3"),
+        (6, "qqq vvv kkk"),  # no profile hits anywhere
     ]
     df = spark.createDataFrame(pdf, ["doc_id", "text"])
-    df.createOrReplaceTempView("_langid_probe")
-    from spacetime_crawler_spark.functions.tokenize import TOKEN_SPLIT_REGEX
-    from spacetime_crawler_spark.operators.textstats import LANG_MARKERS
+    got = {r.doc_id: (r.pred_lang, r.n_hits)
+           for r in textstats.langid_scores(df).collect()}
+    assert got[1][0] == "en", got
+    assert got[2][0] == "es", got
+    assert got[3][0] == "de", got
+    assert got[4][0] == "fr", got
+    assert got[5][0] == "zh", got
+    assert got[6] == ("und", 0), got
 
-    toks = f"filter(split(lower(text), '{TOKEN_SPLIT_REGEX}'), x -> x != '')"
-    cols = [
-        F.expr(
-            f"size(filter(array_distinct({toks}),"
-            f" t -> t IN ({', '.join(repr(m) for m in markers)})))"
-        ).alias(f"score_{lang}")
-        for lang, markers in LANG_MARKERS.items()
-    ]
-    scored = {r.doc_id: r for r in df.select("doc_id", *cols).collect()}
-    assert scored[1].score_en > max(scored[1].score_es, scored[1].score_de)
-    assert scored[2].score_es > max(scored[2].score_en, scored[2].score_de)
-    assert scored[3].score_de > max(scored[3].score_en, scored[3].score_es)
-    assert max(scored[4].score_en, scored[4].score_es, scored[4].score_de) == 0
+
+def test_langid_short_text_guard(spark):
+    """Spark's sequence(1, 0) is DESCENDING, not empty — texts shorter than
+    one trigram must hit the explicit guard, not crash or mis-score."""
+    df = spark.createDataFrame([(1, "ab"), (2, ""), (3, None)], "doc_id long, text string")
+    got = {r.doc_id: r.pred_lang for r in textstats.langid_scores(df).collect()}
+    assert got == {1: "und", 2: "und", 3: "und"}
 
 
 def test_multimodal_fake_features_deterministic(spark):
