@@ -138,30 +138,73 @@ def ngram_jaccard_pairs(
     docs: DataFrame, shingle_df_cap: int = SHINGLE_DF_CAP
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs over any (doc_id, text) DataFrame via an
-    inverted-index self-join (explode → equi-join on shingle), NOT a cross
-    join: candidate pairs are only those sharing ≥1 shingle WITH document
-    frequency ≤ shingle_df_cap (hot boilerplate shingles are excluded from
-    pair generation — see SHINGLE_DF_CAP — so no key ever goes quadratic).
-    Scores come from the full shingle sets.  This is the ground-truth
-    verifier that MinHash candidates are checked against."""
-    sh = _shingle_docs(docs).persist()  # consumed by index + both score sides
+    inverted-index self-join (explode → equi-join on shingle → count), NOT a
+    cross join.  Only shingles with document frequency ≤ shingle_df_cap seed
+    pairs (see SHINGLE_DF_CAP — no key ever goes quadratic); the surviving
+    pairs' scores are still EXACT full-set Jaccard: the hot shingles' overlap
+    is added back per candidate pair via doc-keyed joins (bounded by the
+    candidate count × hot-shingles-per-doc — never a hot-shingle self-join,
+    and never a per-pair array re-intersection, which measured 3× slower).
+    This is the ground-truth verifier that MinHash candidates are checked
+    against."""
+    from pyspark.sql import Window
+
+    sh = _shingle_docs(docs).persist()  # consumed by index + sizes
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
-    hot = (
-        exploded.groupBy("s").agg(F.count("*").alias("df"))
-        .filter(F.col("df") > shingle_df_cap)
-        .select("s")
-    )
-    # AQE broadcasts `hot` when it's small (the normal case) without forcing
-    # a broadcast of an unbounded set on adversarial corpora
-    idx = exploded.join(hot, "s", "left_anti")
+    # document frequency per shingle via a window over the SAME s-partitioned
+    # exchange the self-join needs — one shuffle of the index serves the df
+    # computation, the cold side, and the hot side (vs a separate groupBy +
+    # anti-join, which costs two more full-index shuffles)
+    flagged = exploded.withColumn(
+        "df", F.count("*").over(Window.partitionBy("s"))
+    ).persist()  # one window pass serves the probe, the cold and hot sides
+    hot_idx = flagged.filter(F.col("df") > shingle_df_cap).drop("df")
+    # honest-corpus fast path: no hot shingles at all → cold counts ARE the
+    # exact full-set counts; one cheap probe on the cached index skips the
+    # three correction stages
+    has_hot = not hot_idx.isEmpty()
+    idx = flagged.filter(F.col("df") <= shingle_df_cap).drop("df")
     a = idx.alias("a")
     b = idx.alias("b")
-    candidates = (
+    cold = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common_cold"))
     )
-    return _score_candidates(candidates, sh)
+    if has_hot:
+        # hot-overlap correction, only for candidate pairs, keyed on doc ids
+        ha = hot_idx.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("hs"))
+        hb = hot_idx.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("hs"))
+        hot_common = (
+            cold.select("doc_a", "doc_b")
+            .join(ha, "doc_a")
+            .join(hb, ["doc_b", "hs"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("common_hot"))
+        )
+        pairs = cold.join(hot_common, ["doc_a", "doc_b"], "left").withColumn(
+            "common",
+            F.col("common_cold") + F.coalesce(F.col("common_hot"), F.lit(0)),
+        )
+    else:
+        pairs = cold.withColumn("common", F.col("common_cold"))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
