@@ -42,6 +42,10 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true",
                     help="resume from last committed round")
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--iceberg", metavar="CATALOG.NAMESPACE", default=None,
+                    help="store state in Iceberg tables (requires"
+                         " iceberg-spark-runtime on the classpath) instead"
+                         " of parquet+manifest under --state-dir")
     args = ap.parse_args()
 
     from spacetime_crawler_spark.plans.crawl import CrawlConfig, run_crawl
@@ -70,8 +74,17 @@ def main() -> None:
         n_parts=args.parts,
         use_bloom=not args.no_bloom,
     )
+    io = None
+    if args.iceberg:
+        from spacetime_crawler_spark.sources.io_tables import (
+            IcebergIO,
+            SparkIcebergStore,
+        )
+
+        catalog, namespace = args.iceberg.split(".", 1)
+        io = IcebergIO(SparkIcebergStore(spark, catalog, namespace))
     t0 = time.monotonic()
-    run = run_crawl(spark, pages, seeds, cfg, resume=args.resume)
+    run = run_crawl(spark, pages, seeds, cfg, resume=args.resume, io=io)
     wall = time.monotonic() - t0
 
     fetched = sum(m.urls_selected for m in run.metrics)

@@ -307,12 +307,17 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    hot = (
-        bands.groupBy("band", "bucket").agg(F.count("*").alias("n"))
-        .filter(F.col("n") > bucket_cap)
-        .select("band", "bucket")
+    from pyspark.sql import Window
+
+    # bucket sizes via a window over the SAME (band, bucket) exchange the
+    # self-join uses — no separate groupBy + anti-join passes
+    cold = (
+        bands.withColumn(
+            "n", F.count("*").over(Window.partitionBy("band", "bucket"))
+        )
+        .filter(F.col("n") <= bucket_cap)
+        .drop("n")
     )
-    cold = bands.join(hot, ["band", "bucket"], "left_anti")
     a = cold.alias("a")
     b = cold.alias("b")
     candidates = (

@@ -122,6 +122,84 @@ def sim_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_table_buckets(emb, "embedding").select("vec_id", "table", "bucket")
 
 
+def _query_buckets(query_vec: list[float]) -> list[tuple[int, int]]:
+    """The query's (table, bucket) pairs, computed driver-side with EXACTLY
+    the same arithmetic as the SQL bucket expressions (same pinned plane
+    literals, same left-to-right double accumulation, same `> 0` sign rule)
+    so the probe lands in precisely the partitions the build side wrote."""
+    planes = _hyperplanes()
+    pairs = []
+    for t in range(LSH_TABLES):
+        bucket = 0
+        for b in range(LSH_BITS_PER_TABLE):
+            acc = 0.0
+            for x, y in zip(query_vec, planes[t * LSH_BITS_PER_TABLE + b]):
+                acc += float(x) * y
+            if acc > 0:
+                bucket |= 1 << b
+        pairs.append((t, bucket))
+    return pairs
+
+
+def build_ann_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Materialize the ANN index partitioned by (table, bucket) — the layout
+    that makes probes PARTITION-PRUNED scans: a probe touches L directories
+    out of L·2^k, never the full index.  Embeddings ride along so the rerank
+    needs no second lookup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _with_table_buckets(emb, "embedding").select(
+        "table", "bucket", "vec_id", "embedding"
+    )
+    idx.write.mode("overwrite").partitionBy("table", "bucket").parquet(index_dir)
+
+
+def probe_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    exclude_vec_id: int | None = None,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Top-k probe against a materialized index: the query's L (table,
+    bucket) pairs become a partition-column filter, so the parquet scan
+    reads ONLY those directories (PartitionFilters — plan-asserted in
+    tests/test_similarity.py); candidates are deduped and exactly reranked.
+    At 10^10 scale this is the difference between touching ~L·(N/(L·2^k))
+    rows and a full-index scan per query."""
+    pairs = _query_buckets(query_vec)
+    idx = spark.read.parquet(index_dir)
+    cond = F.lit(False)
+    for t, bu in pairs:
+        cond = cond | ((F.col("table") == t) & (F.col("bucket") == bu))
+    candidates = idx.filter(cond).select("vec_id", "embedding").distinct()
+    if exclude_vec_id is not None:
+        candidates = candidates.filter(F.col("vec_id") != exclude_vec_id)
+    qlits = ", ".join(f"cast({float(v)} as double)" for v in query_vec)
+    cos = _SPARK_COS.format(a="embedding", b=f"array({qlits})")
+    return (
+        candidates.withColumn("cos_sim", F.round(F.expr(cos), 4))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "cos_sim")
+    )
+
+
+def sim_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract demo of the materialized path: build the partitioned
+    index in a scratch dir, probe it with the pinned query vector.  Returns
+    the same top-k as sim_ann_lsh (same planes, same rerank) but through the
+    partition-pruned scan."""
+    import tempfile
+
+    index_dir = tempfile.mkdtemp(prefix="ann_index_")
+    build_ann_index(spark, sf_dir, index_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).collect()[0].embedding
+    return probe_ann_index(
+        spark, index_dir, list(qv), exclude_vec_id=_QUERY_VEC_ID
+    )
+
+
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k for the pinned query: candidates = vectors sharing ANY
     (table, bucket) with the query — a keyed semi-join, never a full scan —

@@ -33,6 +33,44 @@ def test_ann_lsh_recall(spark):
     assert overlap >= 2, (exact, approx)
 
 
+def test_ann_index_probe_prunes_partitions_and_matches_lsh(spark, tmp_path):
+    """The materialized ANN path: (1) the probe's parquet scan carries
+    PartitionFilters on (table, bucket) — i.e. it reads only the query's L
+    directories, not the index; (2) results are identical to the in-memory
+    sim_ann_lsh path (same planes, same rerank)."""
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from spacetime_crawler_spark.sources.tables import load_table
+
+    index_dir = str(tmp_path / "ann_index")
+    similarity.build_ann_index(spark, SF_DIR, index_dir)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qv = list(emb.filter(F.col("vec_id") == similarity._QUERY_VEC_ID)
+              .collect()[0].embedding)
+    probe = similarity.probe_ann_index(
+        spark, index_dir, qv, exclude_vec_id=similarity._QUERY_VEC_ID
+    )
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain(mode="formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan[:1500]
+    assert "table" in pf[0] and "bucket" in pf[0], pf[0]
+    # the filter must NOT be pushed as a data filter only — partition columns
+    # prune directories before any row is read
+    assert "[]" not in pf[0].split("PartitionFilters:")[1][:6]
+
+    got = [(r.vec_id, r.cos_sim) for r in probe.collect()]
+    want = [(r.vec_id, r.cos_sim)
+            for r in similarity.sim_ann_lsh(spark, SF_DIR).collect()]
+    assert got == want
+
+
 def test_langid_trigram_snippets_unseen_vocab(spark):
     """Char-trigram langid must classify snippets whose WORDS appear in no
     profile — trigram fragments ('ing', 'sch', 'ció', …) generalize where
