@@ -1,0 +1,128 @@
+"""End-to-end training-data curation pipeline — the composite operator a
+100 TB corpus pipeline actually runs, wired from the primitives in this
+package and value-checked against one DuckDB oracle query:
+
+    documents
+      → quality gate   (C4/Gopher-style keep rule — same exprs as
+                        text_quality_score)
+      → exact dedup    (md5(text) groups, min-doc_id survivor)
+      → near-dup prune (capped inverted-index Jaccard pairs; the HIGHER
+                        doc_id of each pair ≥ threshold is dropped —
+                        deterministic first-writer-wins, mirroring the
+                        crawler's URL-seen rule)
+      → per-language corpus budget (docs kept, tokens kept)
+
+Every stage is the scale-shaped primitive: the quality gate is map-only and
+runs BEFORE any shuffle; exact dedup shuffles a 16-byte hash key, not text;
+near-dup pairs come from ngram_jaccard_pairs (hot-shingle-capped, never
+quadratic).  One aggregated row per language keeps the driver check
+value-stable."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spacetime_crawler_spark.functions.tokenize import STOPWORDS, sql_stopword_list
+from spacetime_crawler_spark.operators.dedup import (
+    _DEDUP_DOC_LIMIT,
+    _DUCK_SHINGLES,
+    _JACCARD_THRESHOLD,
+    SHINGLE_DF_CAP,
+    ngram_jaccard_pairs,
+)
+from spacetime_crawler_spark.operators.textstats import _DUCK_TOKENS, _SPARK_TOKENS
+from spacetime_crawler_spark.sources.tables import load_table
+
+
+def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _DEDUP_DOC_LIMIT
+    )
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    # quality gate — identical rule to text_quality_score.keep, map-only
+    quality = docs.select(
+        "doc_id", "lang", "text",
+        F.expr(f"size({_SPARK_TOKENS})").alias("n_tokens"),
+        F.expr(
+            f"size(filter({_SPARK_TOKENS}, t -> t IN ({stop_list})))"
+            f" / greatest(size({_SPARK_TOKENS}), 1)"
+        ).alias("stop_ratio"),
+        F.expr(
+            f"aggregate({_SPARK_TOKENS}, 0L, (a, t) -> a + length(t))"
+            f" / greatest(size({_SPARK_TOKENS}), 1)"
+        ).alias("avg_tok_len"),
+    ).filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("stop_ratio") <= 0.6)
+        & (F.col("avg_tok_len") >= 2)
+    )
+    # exact dedup: min doc_id per text hash survives (narrow shuffle key)
+    kept_exact = (
+        quality.withColumn(
+            "keep_id",
+            F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+        )
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "lang", "text", "n_tokens")
+    )
+    # near-dup prune over the survivors: drop the higher id of each pair
+    near_b = ngram_jaccard_pairs(kept_exact.select("doc_id", "text")).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    kept = kept_exact.join(near_b, "doc_id", "left_anti")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+PIPELINE_TRAINING_SET_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, text, {_DUCK_TOKENS} AS w
+  FROM documents WHERE doc_id < {_DEDUP_DOC_LIMIT}
+),
+q AS (
+  SELECT doc_id, lang, text, CAST(len(w) AS INT) AS n_tokens
+  FROM base
+  WHERE len(w) >= 5
+    AND len(list_filter(w, x -> x IN ({sql_stopword_list()}))) * 1.0
+        / GREATEST(len(w), 1) <= 0.6
+    AND list_sum(list_transform(w, x -> LENGTH(x))) * 1.0
+        / GREATEST(len(w), 1) >= 2
+),
+e AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM q
+),
+kept AS (SELECT doc_id, lang, text, n_tokens FROM e WHERE doc_id = keep_id),
+d AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM kept),
+sh AS (SELECT doc_id, unnest(shingles) AS s FROM d),
+hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {SHINGLE_DF_CAP}),
+idx AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+near AS (
+  SELECT DISTINCT doc_b
+  FROM cand
+  JOIN d da ON da.doc_id = doc_a
+  JOIN d db ON db.doc_id = doc_b
+  WHERE ROUND(
+          len(list_intersect(da.shingles, db.shingles)) * 1.0
+          / (len(da.shingles) + len(db.shingles)
+             - len(list_intersect(da.shingles, db.shingles))), 4)
+        >= {_JACCARD_THRESHOLD}
+)
+SELECT lang,
+       COUNT(*) AS n_docs_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM kept
+WHERE doc_id NOT IN (SELECT doc_b FROM near)
+GROUP BY lang
+ORDER BY lang
+"""

@@ -186,13 +186,19 @@ def probe_ann_index(
 
 def sim_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract demo of the materialized path: build the partitioned
-    index in a scratch dir, probe it with the pinned query vector.  Returns
-    the same top-k as sim_ann_lsh (same planes, same rerank) but through the
-    partition-pruned scan."""
+    index once per corpus in a deterministic scratch dir (reused across
+    invocations and processes — repeated harness runs neither rebuild nor
+    leak a new /tmp dir each call), probe it with the pinned query vector.
+    Returns the same top-k as sim_ann_lsh (same planes, same rerank) but
+    through the partition-pruned scan."""
+    import hashlib
+    import os
     import tempfile
 
-    index_dir = tempfile.mkdtemp(prefix="ann_index_")
-    build_ann_index(spark, sf_dir, index_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"scs_ann_index_{tag}")
+    if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+        build_ann_index(spark, sf_dir, index_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).collect()[0].embedding
     return probe_ann_index(

@@ -148,11 +148,15 @@ _LANGID_NORM = (
     f" {_LANGID_PREFIX})), '\\\\s+', ' '), ' ')"
 )
 # NB Spark's sequence(1, 0) is DESCENDING [1, 0], never empty — short texts
-# need the explicit guard.
-_LANGID_TRIGRAMS_EXPR = f"""
-  case when length({_LANGID_NORM}) < 3 then array()
-       else transform(sequence(1, length({_LANGID_NORM}) - 2),
-                      i -> substring({_LANGID_NORM}, i, 3)) end
+# need the explicit guard.  Two-step projection (normalized string first,
+# trigrams from the `nt` column) so the regex/lower pipeline runs once per
+# ROW — embedded in the transform() lambda it would re-run per trigram
+# element (HOF lambda bodies are outside common-subexpression elimination;
+# same pattern and rationale as the shingle exprs in operators/dedup.py).
+_LANGID_TRIGRAMS_FROM_NT = """
+  case when length(nt) < 3 then array()
+       else transform(sequence(1, length(nt) - 2),
+                      i -> substring(nt, i, 3)) end
 """
 
 
@@ -161,8 +165,9 @@ def langid_scores(docs: DataFrame) -> DataFrame:
     each language profile's trigrams over the normalized text prefix, argmax
     with a pinned tie-break (profile dict order), 'und' on zero hits
     everywhere.  Pure column expressions — map-only, fully codegen'd."""
-    tg = F.expr(_LANGID_TRIGRAMS_EXPR)
-    scored = docs.select("doc_id", tg.alias("tg"))
+    scored = docs.select(
+        "doc_id", F.expr(_LANGID_NORM).alias("nt")
+    ).select("doc_id", F.expr(_LANGID_TRIGRAMS_FROM_NT).alias("tg"))
     score_cols = [
         F.expr(
             f"size(filter(tg, t -> t IN ({', '.join(repr(t) for t in tgs)})))"

@@ -241,6 +241,23 @@ def init_frontier(spark: SparkSession, seeds: list[str],
     return frontier.select(*FRONTIER_COLS), seen
 
 
+def _bloom_state_matches(spark, io, rnd: int, cfg: CrawlConfig) -> bool:
+    """True iff a bloom sidecar is committed at `rnd` AND was built under
+    this config's geometry.  n_parts is recorded as the bloom entry's row
+    count in the round manifest (the bucketing modulus — part_id ranges
+    alone cannot distinguish pmod 32 from pmod 64); bits/hashes live in the
+    rows themselves."""
+    if io.last_committed_round("bloom") != rnd:
+        return False
+    if io.manifest("bloom", rnd)["rows"] != cfg.n_parts:
+        return False
+    head = io.read(spark, "bloom", rnd).select("nbits", "nhashes").limit(1).collect()
+    return not head or (
+        head[0].nbits == cfg.bloom_bits_per_part
+        and head[0].nhashes == cfg.bloom_hashes
+    )
+
+
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,
@@ -267,6 +284,9 @@ def run_crawl(
         last = io.last_committed_round("frontier")
         if last is not None:
             start_round = last
+        # a resume that adds no new rounds must still report the committed
+        # frontier round, so read_fetch_log(io, run.rounds_run) sees the run
+        run.rounds_run = start_round
     else:
         # fence against stale committed rounds from an earlier run reusing
         # this state_dir (they would otherwise union into read_seen/
@@ -292,9 +312,11 @@ def run_crawl(
             ))
             tables["bloom"] = cfg.n_parts
         io.commit(0, tables)
-    elif cfg.use_bloom and io.last_committed_round("bloom") != start_round:
-        # resumed state from an engine version (or run) without the bloom
-        # table: rebuild once from seen, commit at start_round (merge-commit)
+    elif cfg.use_bloom and not _bloom_state_matches(spark, io, start_round, cfg):
+        # resumed state without a bloom table, or one built under a DIFFERENT
+        # geometry (n_parts / bits / hashes — reusing it would mis-bucket
+        # membership tests and re-admit seen URLs): rebuild once from seen,
+        # commit at start_round (merge-commit)
         io.write("bloom", start_round, bloom.delta_bitmaps_df(
             read_seen_up_to(spark, io, start_round), cfg.n_parts,
             cfg.bloom_bits_per_part, cfg.bloom_hashes,

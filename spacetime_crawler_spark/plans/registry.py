@@ -12,7 +12,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spacetime_crawler_spark.operators import dedup, multimodal, similarity, textstats
+from spacetime_crawler_spark.operators import (
+    dedup,
+    multimodal,
+    pipeline,
+    similarity,
+    textstats,
+)
 from spacetime_crawler_spark.plans import analytics, crawl_demos
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -65,6 +71,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_langid": textstats.text_langid,
     "text_bpe_token_count": textstats.text_bpe_token_count,
     "text_fingerprint": textstats.text_fingerprint,
+    # Training-data pipeline — end-to-end curation composite
+    "pipeline_training_set": pipeline.pipeline_training_set,
     # Training-data pipeline — multimodal plumbing
     "multimodal_binary_meta": multimodal.multimodal_binary_meta,
     "multimodal_fake_features": multimodal.multimodal_fake_features,
@@ -99,6 +107,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_token_stats": textstats.TEXT_TOKEN_STATS_SQL,
     "text_fingerprint": textstats.TEXT_FINGERPRINT_SQL,
     "multimodal_binary_meta": multimodal.MULTIMODAL_BINARY_META_SQL,
+    "pipeline_training_set": pipeline.PIPELINE_TRAINING_SET_SQL,
     # rows-only (non-SQL-expressible): a1_approx_unique_pages (HLL sketch),
     # dedup_minhash_lsh / dedup_simhash (hash sketches), sim_ann_* (ANN),
     # text_langid (heuristic argmax), multimodal_fake_features (UDF featurizer)

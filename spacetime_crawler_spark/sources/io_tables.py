@@ -36,6 +36,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 COMMITS_DIR = "_commits"
 
+# every table name the crawl engine writes — reset() fences exactly these
+STATE_TABLES = (
+    "frontier", "seen", "seen_snapshot", "fetch_log", "bloom", "metrics"
+)
+
 
 @dataclass
 class ParquetManifestIO:
@@ -51,11 +56,15 @@ class ParquetManifestIO:
         """Fence a fresh (resume=False) run against stale state from an
         earlier run of the same state_dir: without this, a shorter re-run
         would leave higher committed rounds behind and readers keyed on
-        last_committed_round would silently union stale deltas."""
+        last_committed_round would silently union stale deltas.  Deletes
+        ONLY the commit ledger and the engine's own state tables — a
+        state_dir that also holds unrelated user files never loses them."""
         import shutil
 
-        if os.path.isdir(self.root):
-            shutil.rmtree(self.root)
+        for sub in (COMMITS_DIR, *STATE_TABLES):
+            path = os.path.join(self.root, sub)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
 
     def write(self, table: str, rnd: int, df: DataFrame) -> int:
         """Write a full snapshot for (table, round); NOT yet visible."""
@@ -266,9 +275,16 @@ class SparkIcebergStore:
 
     def replace_round(self, name: str, rnd: int, df: DataFrame) -> None:
         if self._exists(name):
-            # replaces exactly the _state_round=rnd partition — one atomic
-            # Iceberg snapshot
-            df.writeTo(self._fq(name)).overwritePartitions()
+            # explicit DELETE of the round slice, then append: dynamic
+            # partition overwrite would only replace partitions PRESENT in
+            # the incoming df, so a crashed attempt's leftovers would
+            # survive a re-run that produces an empty (or smaller) result.
+            # The two snapshots need not be atomic together — visibility is
+            # governed solely by the commit ledger.
+            self.spark.sql(
+                f"DELETE FROM {self._fq(name)} WHERE {STATE_ROUND_COL} = {int(rnd)}"
+            )
+            df.writeTo(self._fq(name)).append()
         else:
             self._create(name, df)
 
@@ -284,6 +300,9 @@ class SparkIcebergStore:
             return None
 
     def drop_all(self) -> None:
-        ns = self.prefix.split(".", 1)[1]
-        for t in self.spark.catalog.listTables(ns):
-            self.spark.sql(f"DROP TABLE IF EXISTS {self.prefix}.{t.name}")
+        # drop exactly the engine's own tables by fully-qualified name —
+        # never enumerate the namespace (listTables(ns) would resolve ns in
+        # the session's CURRENT catalog, and a shared namespace must not
+        # lose unrelated tables to a fresh run)
+        for t in (*STATE_TABLES, IcebergIO.COMMITS_TABLE):
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._fq(t)}")

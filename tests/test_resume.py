@@ -171,13 +171,58 @@ def test_adaptive_fetch_join_shuffle_path_equivalent(spark, tiny, tmp_path_facto
             == _final_state(spark, run_b.io, run_b.rounds_run))
 
 
+def test_resume_with_changed_bloom_geometry_rebuilds(spark, tiny, tmp_path_factory):
+    """Resuming under a different n_parts must NOT reuse the committed bloom
+    sidecar (its buckets were computed under a different modulus — reuse
+    would flag seen URLs as definitely-new and re-admit them).  The engine
+    detects the mismatch, rebuilds, and the final state stays identical to
+    an uninterrupted run."""
+    p, pages, seeds = tiny
+    full_cfg = CrawlConfig(state_dir=str(tmp_path_factory.mktemp("geo_full")),
+                           rounds=ROUNDS, round_budget_s=BUDGET, n_parts=16)
+    run_full = run_crawl(spark, pages, seeds, full_cfg)
+    full = _final_state(spark, run_full.io, run_full.rounds_run)
+
+    d = str(tmp_path_factory.mktemp("geo_part"))
+    run_crawl(spark, pages, seeds,
+              CrawlConfig(state_dir=d, rounds=2, round_budget_s=BUDGET,
+                          n_parts=32))
+    run_b = run_crawl(spark, pages, seeds,
+                      CrawlConfig(state_dir=d, rounds=ROUNDS,
+                                  round_budget_s=BUDGET, n_parts=16),
+                      resume=True)
+    assert _final_state(spark, run_b.io, run_b.rounds_run) == full
+    # and the seen set has no duplicate url_norm (the bug's signature)
+    seen = crawl_mod.read_seen(spark, run_b.io)
+    assert seen.count() == seen.select("url_norm").distinct().count()
+
+
+def test_resume_past_completed_run_reports_committed_rounds(spark, tiny,
+                                                            tmp_path_factory):
+    """A resume that adds zero new rounds must still expose the committed
+    crawl (rounds_run = last committed round), not an all-zero summary."""
+    run_a, state_dir = _run(spark, tiny, tmp_path_factory.mktemp("done"), 2)
+    run_b, _ = _run(spark, tiny, None, 2, resume=True, state_dir=state_dir)
+    assert run_b.rounds_run == 2
+    assert (_final_state(spark, run_b.io, run_b.rounds_run)
+            == _final_state(spark, run_a.io, 2))
+
+
 def test_fresh_run_fences_stale_state(spark, tiny, tmp_path_factory):
     """resume=False in a reused state_dir must not leak committed rounds
     from the earlier (longer) run into read_seen/read_fetch_log."""
+    import os
+
     tmp = tmp_path_factory.mktemp("fence")
     run_long, state_dir = _run(spark, tiny, tmp, ROUNDS)
     assert run_long.rounds_run == ROUNDS
+    # the fence must delete ONLY engine state — a user file sharing the
+    # state_dir survives a fresh run
+    foreign = os.path.join(state_dir, "notes.txt")
+    with open(foreign, "w") as f:
+        f.write("keep me")
     run_short, _ = _run(spark, tiny, None, 2, state_dir=state_dir)
+    assert open(foreign).read() == "keep me"
     assert run_short.rounds_run == 2
     assert run_short.io.last_committed_round("fetch_log") == 2
     seen_rounds = {r.round_seen for r in
