@@ -192,8 +192,11 @@ def ngram_jaccard_pairs(
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
-        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        # no forced broadcast: sizes is one row per doc, so on an unbounded
+        # corpus AQE must be free to pick a shuffled join; it still
+        # broadcasts when the corpus is small
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .withColumn(
             "jaccard",
             F.round(
