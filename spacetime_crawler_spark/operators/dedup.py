@@ -345,6 +345,76 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- near-dup clusters (connected components) --------------------------------------
+
+def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(doc_a, doc_b) pair edges → (doc_id, component) with component =
+    min doc_id reachable — the grouping step a dedup pipeline runs AFTER
+    pair generation (keep one doc per component, not per pair: pairs (1,2),
+    (2,3) must collapse to ONE survivor, which pairwise pruning misses).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbours; converges in
+    O(component diameter) rounds — near-dup clusters are hubs-and-spokes
+    (diameter ≲ 4), so few iterations suffice; iteration stops EARLY via an
+    isEmpty probe on the changed set, and each round materializes ≤|V| rows
+    via localCheckpoint so the plan never grows superlinearly (the classic
+    Spark iterative-algorithm discipline).  Label propagation is the
+    shuffle-friendly form of union-find: no driver-side state, every step
+    a keyed join."""
+    both = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    ).distinct().persist()
+    labels = (
+        both.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbour_min = (
+            both.join(labels, both.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbour_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component", F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = updated.filter(F.col("changed")).isEmpty()
+        labels = updated.drop("changed")
+        if converged:
+            break
+    both.unpersist()
+    return labels
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the documents table: Jaccard pair edges →
+    connected components → one row per non-trivial cluster with its
+    first-writer survivor and member count.  Rows-only driver check
+    (iterative fixpoint isn't ANSI SQL); tests pin equality against a pure
+    union-find oracle."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select("component", "n_docs", "keep_doc_id")
+    )
+
+
 # --- SimHash ---------------------------------------------------------------------
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

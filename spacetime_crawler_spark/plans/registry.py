@@ -59,6 +59,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_simhash": dedup.dedup_simhash,
+    "dedup_components": dedup.dedup_components,
     "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
     # Training-data pipeline — similarity search
     "sim_topk_bruteforce": similarity.sim_topk_bruteforce,
@@ -109,6 +110,7 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_binary_meta": multimodal.MULTIMODAL_BINARY_META_SQL,
     "pipeline_training_set": pipeline.PIPELINE_TRAINING_SET_SQL,
     # rows-only (non-SQL-expressible): a1_approx_unique_pages (HLL sketch),
-    # dedup_minhash_lsh / dedup_simhash (hash sketches), sim_ann_* (ANN),
-    # text_langid (heuristic argmax), multimodal_fake_features (UDF featurizer)
+    # dedup_minhash_lsh / dedup_simhash (hash sketches), dedup_components
+    # (iterative fixpoint), sim_ann_* (ANN), text_langid (heuristic argmax),
+    # multimodal_fake_features (UDF featurizer)
 }

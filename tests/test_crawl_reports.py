@@ -59,3 +59,37 @@ def test_a4_common_words(setup):
         for r in crawl_reports.common_words(fetch_log, pages_latest).collect()
     ]
     assert got == report["common_words"]
+
+
+def test_host_pagerank_matches_pure_python(setup):
+    """The distributed PageRank (fixed 10 iterations, dangling mass
+    redistributed uniformly) must match a pure-Python implementation run on
+    the SAME edge list, and conserve rank mass."""
+    _, fetch_log, pages_latest = setup
+    edge_rows = crawl_reports.host_link_edges(fetch_log, pages_latest).collect()
+    edges = {(r.src_host, r.dst_host) for r in edge_rows}
+    nodes = sorted({r.host for r in fetch_log.filter("status = 200")
+                    .select("host").distinct().collect()})
+    n, d = len(nodes), 0.85
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, set()).add(t)
+    rank = {h: 1.0 / n for h in nodes}
+    for _ in range(10):
+        dangling = sum(rank[h] for h in nodes if h not in out)
+        contrib = {h: 0.0 for h in nodes}
+        for s, ts in out.items():
+            share = rank[s] / len(ts)
+            for t in ts:
+                contrib[t] += share
+        base = (1 - d) / n + d * dangling / n
+        rank = {h: base + d * contrib[h] for h in nodes}
+
+    got = {r.host: r.rank
+           for r in crawl_reports.host_pagerank(fetch_log, pages_latest).collect()}
+    assert set(got) == set(nodes)
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+    for h in nodes:
+        assert abs(got[h] - rank[h]) < 1e-6, (h, got[h], rank[h])
+    # the graph must be non-trivial for this test to mean anything
+    assert edges and len({v for v in got.values()}) > 1

@@ -74,6 +74,52 @@ def test_hot_shingle_cap_prevents_quadratic_boilerplate(spark):
     assert (n + 1, n + 2) in lsh_pairs
 
 
+def test_connected_components_match_union_find(spark, exact_pairs):
+    """Label propagation over the pair graph ≡ a pure union-find oracle:
+    every doc labeled with its component's min doc_id, transitive pairs
+    collapse into one cluster (pairwise pruning can't do that)."""
+    # pure union-find over the same edges
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in exact_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in exact_pairs], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.component
+           for r in dedup.connected_components(edges).collect()}
+    assert got == want
+
+    # the registry entry: one row per non-trivial cluster, survivor = min id
+    groups = {r.component: (r.n_docs, r.keep_doc_id)
+              for r in dedup.dedup_components(spark, SF_DIR).collect()}
+    from collections import Counter
+
+    sizes = Counter(want.values())
+    assert groups == {c: (n, c) for c, n in sizes.items() if n > 1}
+
+
+def test_connected_components_transitive_chain(spark):
+    """Pairs (1,2), (2,3), (3,4) — disjoint from (10,11) — must collapse to
+    exactly two clusters with min-id labels, in few iterations."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.component
+           for r in dedup.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_simhash_deterministic_and_locality(spark, exact_pairs):
     sigs = {r.doc_id: r.simhash for r in dedup.dedup_simhash(spark, SF_DIR).collect()}
     sigs2 = {r.doc_id: r.simhash for r in dedup.dedup_simhash(spark, SF_DIR).collect()}
