@@ -129,14 +129,26 @@ def bench_crawl(tmp_root: str) -> dict:
     p = synth.world("bench", n_pages=CRAWL_PAGES)
     seeds = synth.spread_seed_urls(p, n_seeds=CRAWL_SEEDS)
 
-    # the world is deterministic (seeded), so materialize it ONCE per page
-    # count in a stable location and reuse across bench invocations —
-    # generation (~minutes at 1.2M × 20 KB) is excluded from timings either
-    # way (BASELINE.md §proto), this just stops re-paying it per run
+    # the world is deterministic (seeded), so materialize it ONCE in a
+    # stable location and reuse across bench invocations — generation
+    # (~minutes at 1.2M × 20 KB) is excluded from timings either way
+    # (BASELINE.md §proto), this just stops re-paying it per run.  The cache
+    # key fingerprints the GENERATOR (sample page/robots rows + world
+    # params), so any change to synth page/URL/link generation invalidates
+    # the cache instead of silently benchmarking a stale world against
+    # freshly-computed seeds.
+    import hashlib
     import tempfile
 
+    sample = repr((
+        (p.n_pages, p.n_hosts, p.text_scale),
+        synth.page_rows(0, p),
+        synth.page_rows(p.n_pages - 1, p),
+        synth.robots_rows(p)[:2],
+    ))
+    tag = hashlib.md5(sample.encode()).hexdigest()[:12]
     pages_dir = os.path.join(
-        tempfile.gettempdir(), f"scs_bench_world_{CRAWL_PAGES}"
+        tempfile.gettempdir(), f"scs_bench_world_{CRAWL_PAGES}_{tag}"
     )
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
         spark = get_spark(master=f"local[{CPUS}]", app_name="bench-gen")
@@ -162,21 +174,25 @@ def bench_crawl(tmp_root: str) -> dict:
     # (retry small, take min wall).  Identical-output gate still applies to
     # every run.
     first = eff(small, big)
+    retrial_identical = True  # a retrial whose state diverges is a REAL
+    # determinism failure and must surface in the report, not be discarded
     if first < 0.8:
         big2 = _crawl_once(
             f"local[{BIG_CPUS}]", pages_dir, seeds, os.path.join(tmp_root, "s_big2")
         )
-        if big2["state"] == big["state"] and big2["wall_s"] < big["wall_s"]:
+        retrial_identical = big2["state"] == big["state"]
+        if retrial_identical and big2["wall_s"] < big["wall_s"]:
             big = big2
     elif first > 1.05:
         small2 = _crawl_once(
             f"local[{SMALL_CPUS}]", pages_dir, seeds,
             os.path.join(tmp_root, "s_small2"),
         )
-        if small2["state"] == small["state"] and small2["wall_s"] < small["wall_s"]:
+        retrial_identical = small2["state"] == small["state"]
+        if retrial_identical and small2["wall_s"] < small["wall_s"]:
             small = small2
 
-    identical = small["state"] == big["state"]
+    identical = small["state"] == big["state"] and retrial_identical
     efficiency = eff(small, big)
     ss_eff = (
         (small["last_round_wall_s"] / big["last_round_wall_s"]) / ratio

@@ -47,6 +47,8 @@ def main() -> None:
                          " iceberg-spark-runtime on the classpath) instead"
                          " of parquet+manifest under --state-dir")
     args = ap.parse_args()
+    if args.iceberg and "." not in args.iceberg:
+        ap.error("--iceberg must be CATALOG.NAMESPACE")
 
     from spacetime_crawler_spark.plans.crawl import CrawlConfig, run_crawl
     from spacetime_crawler_spark.session import get_spark

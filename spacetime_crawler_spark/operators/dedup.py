@@ -347,7 +347,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- near-dup clusters (connected components) --------------------------------------
 
-def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     """(doc_a, doc_b) pair edges → (doc_id, component) with component =
     min doc_id reachable — the grouping step a dedup pipeline runs AFTER
     pair generation (keep one doc per component, not per pair: pairs (1,2),
@@ -371,6 +371,7 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         neighbour_min = (
             both.join(labels, both.src == labels.doc_id)
@@ -389,10 +390,19 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         converged = updated.filter(F.col("changed")).isEmpty()
+        labels.unpersist()  # superseded checkpoint — don't pin O(iters×|V|)
         labels = updated.drop("changed")
         if converged:
             break
     both.unpersist()
+    if not converged:
+        # silently returning split components would under-deduplicate;
+        # exhaustion means a component with diameter > max_iters exists
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations"
+            " — raise max_iters (label propagation needs O(component"
+            " diameter) rounds)"
+        )
     return labels
 
 

@@ -23,7 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spacetime_crawler_spark.functions.tokenize import STOPWORDS, sql_stopword_list
 from spacetime_crawler_spark.operators.dedup import (
     _DEDUP_DOC_LIMIT,
     _DUCK_SHINGLES,
@@ -31,7 +30,18 @@ from spacetime_crawler_spark.operators.dedup import (
     SHINGLE_DF_CAP,
     ngram_jaccard_pairs,
 )
-from spacetime_crawler_spark.operators.textstats import _DUCK_TOKENS, _SPARK_TOKENS
+from spacetime_crawler_spark.operators.textstats import (
+    _DUCK_TOKENS,
+    DUCK_AVG_TOK_LEN_W,
+    DUCK_N_TOKENS_W,
+    DUCK_STOP_RATIO_W,
+    QUALITY_KEEP_MAX_STOP_RATIO,
+    QUALITY_KEEP_MIN_AVG_TOK_LEN,
+    QUALITY_KEEP_MIN_TOKENS,
+    SPARK_AVG_TOK_LEN,
+    SPARK_N_TOKENS,
+    SPARK_STOP_RATIO,
+)
 from spacetime_crawler_spark.sources.tables import load_table
 
 
@@ -39,23 +49,17 @@ def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _DEDUP_DOC_LIMIT
     )
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    # quality gate — identical rule to text_quality_score.keep, map-only
+    # quality gate — the SHARED expressions and thresholds from textstats
+    # (one source of truth: the rule cannot drift from text_quality_score)
     quality = docs.select(
         "doc_id", "lang", "text",
-        F.expr(f"size({_SPARK_TOKENS})").alias("n_tokens"),
-        F.expr(
-            f"size(filter({_SPARK_TOKENS}, t -> t IN ({stop_list})))"
-            f" / greatest(size({_SPARK_TOKENS}), 1)"
-        ).alias("stop_ratio"),
-        F.expr(
-            f"aggregate({_SPARK_TOKENS}, 0L, (a, t) -> a + length(t))"
-            f" / greatest(size({_SPARK_TOKENS}), 1)"
-        ).alias("avg_tok_len"),
+        F.expr(SPARK_N_TOKENS).alias("n_tokens"),
+        F.expr(SPARK_STOP_RATIO).alias("stop_ratio"),
+        F.expr(SPARK_AVG_TOK_LEN).alias("avg_tok_len"),
     ).filter(
-        (F.col("n_tokens") >= 5)
-        & (F.col("stop_ratio") <= 0.6)
-        & (F.col("avg_tok_len") >= 2)
+        (F.col("n_tokens") >= QUALITY_KEEP_MIN_TOKENS)
+        & (F.col("stop_ratio") <= QUALITY_KEEP_MAX_STOP_RATIO)
+        & (F.col("avg_tok_len") >= QUALITY_KEEP_MIN_AVG_TOK_LEN)
     )
     # exact dedup: min doc_id per text hash survives (narrow shuffle key)
     kept_exact = (
@@ -87,13 +91,11 @@ WITH base AS (
   FROM documents WHERE doc_id < {_DEDUP_DOC_LIMIT}
 ),
 q AS (
-  SELECT doc_id, lang, text, CAST(len(w) AS INT) AS n_tokens
+  SELECT doc_id, lang, text, {DUCK_N_TOKENS_W} AS n_tokens
   FROM base
-  WHERE len(w) >= 5
-    AND len(list_filter(w, x -> x IN ({sql_stopword_list()}))) * 1.0
-        / GREATEST(len(w), 1) <= 0.6
-    AND list_sum(list_transform(w, x -> LENGTH(x))) * 1.0
-        / GREATEST(len(w), 1) >= 2
+  WHERE {DUCK_N_TOKENS_W} >= {QUALITY_KEEP_MIN_TOKENS}
+    AND {DUCK_STOP_RATIO_W} <= {QUALITY_KEEP_MAX_STOP_RATIO}
+    AND {DUCK_AVG_TOK_LEN_W} >= {QUALITY_KEEP_MIN_AVG_TOK_LEN}
 ),
 e AS (
   SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM q

@@ -195,7 +195,15 @@ def sim_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # key the cache by a CONTENT fingerprint of the source table (path +
+    # size + mtime), not just its path — regenerated data at the same path
+    # must invalidate the index, or the probe would silently serve
+    # neighbors of vectors that no longer exist
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
     index_dir = os.path.join(tempfile.gettempdir(), f"scs_ann_index_{tag}")
     if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
         build_ann_index(spark, sf_dir, index_dir)

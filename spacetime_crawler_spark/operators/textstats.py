@@ -24,23 +24,48 @@ _DUCK_TOKENS = (
 
 # --- quality scoring ----------------------------------------------------------
 
+# The canonical quality-signal expressions (Spark SQL strings over a `text`
+# column), shared by text_quality_score AND pipeline_training_set so the
+# keep rule cannot drift between the standalone operator and the composite.
+# Values are ROUNDED to 4dp BEFORE thresholding — both consumers and both
+# engines must agree at the boundary.
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+SPARK_N_TOKENS = f"size({_SPARK_TOKENS})"
+SPARK_STOP_RATIO = (
+    f"round(size(filter({_SPARK_TOKENS}, t -> t IN ({_STOP_LIST})))"
+    f" / greatest(size({_SPARK_TOKENS}), 1), 4)"
+)
+SPARK_AVG_TOK_LEN = (
+    f"round(aggregate({_SPARK_TOKENS}, 0L, (a, t) -> a + length(t))"
+    f" / greatest(size({_SPARK_TOKENS}), 1), 4)"
+)
+# DuckDB mirrors over a pre-tokenized `w` column (see TEXT_QUALITY_SQL /
+# PIPELINE_TRAINING_SET_SQL for the CTE that binds w)
+DUCK_N_TOKENS_W = "CAST(len(w) AS INT)"
+DUCK_STOP_RATIO_W = (
+    f"ROUND(len(list_filter(w, x -> x IN ({sql_stopword_list()}))) * 1.0"
+    " / GREATEST(len(w), 1), 4)"
+)
+DUCK_AVG_TOK_LEN_W = (
+    "ROUND(list_sum(list_transform(w, x -> LENGTH(x))) * 1.0"
+    " / GREATEST(len(w), 1), 4)"
+)
+# the keep rule, thresholded on the rounded signals
+QUALITY_KEEP_MIN_TOKENS = 5
+QUALITY_KEEP_MAX_STOP_RATIO = 0.6
+QUALITY_KEEP_MIN_AVG_TOK_LEN = 2
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality signals (length, stopword ratio, alnum ratio, mean
     token length) + a boolean keep-flag — the C4/Gopher-style rule shape.
     Single narrow projection; at 100 TB this is a map-only stage that
     filters before any shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     return docs.select(
         "doc_id",
-        F.expr(f"size({_SPARK_TOKENS})").alias("n_tokens"),
-        F.round(
-            F.expr(
-                f"size(filter({_SPARK_TOKENS}, t -> t IN ({stop_list})))"
-                f" / greatest(size({_SPARK_TOKENS}), 1)"
-            ),
-            4,
-        ).alias("stop_ratio"),
+        F.expr(SPARK_N_TOKENS).alias("n_tokens"),
+        F.expr(SPARK_STOP_RATIO).alias("stop_ratio"),
         F.round(
             F.expr(
                 "length(regexp_replace(text, '[^a-zA-Z0-9]', ''))"
@@ -48,19 +73,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("alnum_ratio"),
-        F.round(
-            F.expr(
-                f"aggregate({_SPARK_TOKENS}, 0L, (a, t) -> a + length(t))"
-                f" / greatest(size({_SPARK_TOKENS}), 1)"
-            ),
-            4,
-        ).alias("avg_tok_len"),
+        F.expr(SPARK_AVG_TOK_LEN).alias("avg_tok_len"),
     ).withColumn(
         "keep",
         (
-            (F.col("n_tokens") >= 5)
-            & (F.col("stop_ratio") <= 0.6)
-            & (F.col("avg_tok_len") >= 2)
+            (F.col("n_tokens") >= QUALITY_KEEP_MIN_TOKENS)
+            & (F.col("stop_ratio") <= QUALITY_KEEP_MAX_STOP_RATIO)
+            & (F.col("avg_tok_len") >= QUALITY_KEEP_MIN_AVG_TOK_LEN)
         ).cast("int"),
     )
 
@@ -71,17 +90,17 @@ WITH t AS (
 ),
 m AS (
   SELECT doc_id,
-         CAST(len(w) AS INT) AS n_tokens,
-         ROUND(len(list_filter(w, x -> x IN ({sql_stopword_list()}))) * 1.0
-               / GREATEST(len(w), 1), 4) AS stop_ratio,
+         {DUCK_N_TOKENS_W} AS n_tokens,
+         {DUCK_STOP_RATIO_W} AS stop_ratio,
          ROUND(LENGTH(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) * 1.0
                / GREATEST(LENGTH(text), 1), 4) AS alnum_ratio,
-         ROUND(list_sum(list_transform(w, x -> LENGTH(x))) * 1.0
-               / GREATEST(len(w), 1), 4) AS avg_tok_len
+         {DUCK_AVG_TOK_LEN_W} AS avg_tok_len
   FROM t
 )
 SELECT doc_id, n_tokens, stop_ratio, alnum_ratio, avg_tok_len,
-       CAST(n_tokens >= 5 AND stop_ratio <= 0.6 AND avg_tok_len >= 2 AS INT) AS keep
+       CAST(n_tokens >= {QUALITY_KEEP_MIN_TOKENS}
+            AND stop_ratio <= {QUALITY_KEEP_MAX_STOP_RATIO}
+            AND avg_tok_len >= {QUALITY_KEEP_MIN_AVG_TOK_LEN} AS INT) AS keep
 FROM m
 """
 

@@ -252,7 +252,10 @@ def _bloom_state_matches(spark, io, rnd: int, cfg: CrawlConfig) -> bool:
     if io.manifest("bloom", rnd)["rows"] != cfg.n_parts:
         return False
     head = io.read(spark, "bloom", rnd).select("nbits", "nhashes").limit(1).collect()
-    return not head or (
+    # an empty sidecar is unverifiable — treat as mismatch and rebuild (the
+    # rebuild over an empty/tiny seen set costs nothing, and never trusting
+    # unverifiable state is the safe default)
+    return bool(head) and (
         head[0].nbits == cfg.bloom_bits_per_part
         and head[0].nhashes == cfg.bloom_hashes
     )
@@ -312,16 +315,24 @@ def run_crawl(
             ))
             tables["bloom"] = cfg.n_parts
         io.commit(0, tables)
-    elif cfg.use_bloom and not _bloom_state_matches(spark, io, start_round, cfg):
+    bloom_override: DataFrame | None = None
+    if (
+        cfg.use_bloom
+        and start_round > 0
+        and not _bloom_state_matches(spark, io, start_round, cfg)
+    ):
         # resumed state without a bloom table, or one built under a DIFFERENT
         # geometry (n_parts / bits / hashes — reusing it would mis-bucket
         # membership tests and re-admit seen URLs): rebuild once from seen,
-        # commit at start_round (merge-commit)
-        io.write("bloom", start_round, bloom.delta_bitmaps_df(
+        # IN MEMORY ONLY.  Never rewrite the already-committed round's bloom
+        # slice — a crash mid-rewrite would leave committed-but-partial
+        # state, exactly what the round-manifest protocol forbids.  The
+        # rebuilt sidecar feeds the first resumed round and is then written
+        # (and committed) at that round like any other.
+        bloom_override = bloom.delta_bitmaps_df(
             read_seen_up_to(spark, io, start_round), cfg.n_parts,
             cfg.bloom_bits_per_part, cfg.bloom_hashes,
-        ))
-        io.commit(start_round, {"bloom": cfg.n_parts})
+        ).persist()
 
     for rnd in range(start_round + 1, cfg.rounds + 1):
         t0 = time.monotonic()
@@ -410,7 +421,10 @@ def run_crawl(
         # then exact left_anti vs seen, both sides partitioned by url_hash.
         bloom_bcast = None
         if cfg.use_bloom:
-            bloom_prev = io.read(spark, "bloom", rnd - 1)
+            if rnd == start_round + 1 and bloom_override is not None:
+                bloom_prev = bloom_override
+            else:
+                bloom_prev = io.read(spark, "bloom", rnd - 1)
             sidecar_bytes = cfg.n_parts * (cfg.bloom_bits_per_part // 8)
             if sidecar_bytes <= cfg.bloom_broadcast_max_bytes:
                 # small sidecar: one broadcast, destroyed at round end
@@ -508,6 +522,9 @@ def run_crawl(
             # broadcast so driver/executor memory stays O(1 sidecar), not
             # O(rounds × sidecar)
             bloom_bcast.destroy()
+        if bloom_override is not None and rnd == start_round + 1:
+            bloom_override.unpersist()
+            bloom_override = None
         if n_frontier == 0:
             break
 

@@ -142,7 +142,7 @@ def host_pagerank(
             .agg(F.sum(F.col("src_rank") / F.col("out_deg")).alias("contrib"))
         )
         base = (1.0 - damping) / n + damping * dangling / n
-        ranks = (
+        new_ranks = (
             nodes.join(contribs, "host", "left")
             .select(
                 "host",
@@ -151,7 +151,10 @@ def host_pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        ranks.unpersist()  # superseded checkpoint — don't pin O(iters×|V|)
+        ranks = new_ranks
     edges.unpersist()
+    nodes.unpersist()
     return ranks.select("host", F.round("rank", 8).alias("rank")).orderBy(
         F.desc("rank"), F.asc("host")
     )

@@ -68,6 +68,9 @@ class ParquetManifestIO:
 
     def write(self, table: str, rnd: int, df: DataFrame) -> int:
         """Write a full snapshot for (table, round); NOT yet visible."""
+        # reset()/drop_all() fence exactly STATE_TABLES — an unknown name
+        # would silently escape the stale-state fence, so refuse it loudly
+        assert table in STATE_TABLES, f"unknown state table {table!r}"
         path = self._round_dir(table, rnd)
         df.write.mode("overwrite").parquet(path)
         return rnd
@@ -203,6 +206,8 @@ class IcebergIO:
     def write(self, table: str, rnd: int, df: DataFrame) -> int:
         from pyspark.sql import functions as F
 
+        # same fence contract as the parquet backend (see STATE_TABLES)
+        assert table in STATE_TABLES, f"unknown state table {table!r}"
         self.store.replace_round(
             table, rnd, df.withColumn(STATE_ROUND_COL, F.lit(rnd))
         )

@@ -195,6 +195,12 @@ def test_resume_with_changed_bloom_geometry_rebuilds(spark, tiny, tmp_path_facto
     # and the seen set has no duplicate url_norm (the bug's signature)
     seen = crawl_mod.read_seen(spark, run_b.io)
     assert seen.count() == seen.select("url_norm").distinct().count()
+    # the rebuild must NOT have rewritten the already-committed round's
+    # bloom slice (write-then-commit atomicity): round 2's sidecar still
+    # records the ORIGINAL n_parts=32 geometry
+    assert run_b.io.manifest("bloom", 2)["rows"] == 32
+    # while the resumed rounds committed sidecars under the new geometry
+    assert run_b.io.manifest("bloom", run_b.rounds_run)["rows"] == 16
 
 
 def test_resume_past_completed_run_reports_committed_rounds(spark, tiny,
