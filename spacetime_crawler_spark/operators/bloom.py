@@ -158,6 +158,14 @@ def flag_maybe_seen_cogrouped(
         else:
             nbits = int(bloom_pdf["nbits"].iloc[0])
             k = int(bloom_pdf["nhashes"].iloc[0])
+            # uniform-geometry guard (same contract as merge_bitmaps_df):
+            # OR-ing bitmaps built under different nbits/nhashes would
+            # compute bit positions against the wrong modulus — a silent
+            # bloom FALSE NEGATIVE that re-admits seen URLs.  A mixed
+            # sidecar is a caller bug; fail loudly.
+            assert (bloom_pdf["nbits"] == nbits).all() and (
+                bloom_pdf["nhashes"] == k
+            ).all(), "mixed bloom geometry within one part_id group"
             bits = np.zeros(nbits // 8, dtype=np.uint8)
             for b in bloom_pdf["bits"]:
                 bits |= np.frombuffer(b, dtype=np.uint8)

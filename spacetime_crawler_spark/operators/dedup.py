@@ -39,6 +39,10 @@ _DEDUP_DOC_LIMIT = 1000  # bound the all-pairs verify at bench scale
 # in MinHash pipelines, e.g. spark.ml MinHashLSH users bound bucket sizes).
 SHINGLE_DF_CAP = 100  # max docs a shingle may appear in and still seed pairs
 LSH_BUCKET_CAP = 50  # max docs per (band, bucket) joined all-pairs
+# hot-shingle sets up to this many rows ride a broadcast for the cold/hot
+# index split; past it (pathological boilerplate corpora) fall back to a
+# shuffled join and let AQE choose the strategy
+_HOT_BROADCAST_MAX = 1_000_000
 
 # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — short docs
 # must be guarded explicitly (DuckDB's generate_series(1, 0) is []).
@@ -134,8 +138,23 @@ def _score_candidates(candidates: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
+def _finalize(result: DataFrame, persists: list[DataFrame]) -> DataFrame:
+    """Materialize a SMALL final result eagerly (localCheckpoint), then
+    release the intermediate cached blocks — without this every invocation
+    in a long-lived session (driver harness, bench, composites) permanently
+    pins the shingle/index caches.  Registry-facing wrappers use this;
+    callers that want the lazy plan call the *_pairs functions directly
+    (optionally passing their own cleanup list)."""
+    out = result.localCheckpoint(eager=True)
+    for df in persists:
+        df.unpersist(blocking=False)
+    return out
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, shingle_df_cap: int = SHINGLE_DF_CAP
+    docs: DataFrame,
+    shingle_df_cap: int = SHINGLE_DF_CAP,
+    cleanup: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs over any (doc_id, text) DataFrame via an
     inverted-index self-join (explode → equi-join on shingle → count), NOT a
@@ -147,24 +166,42 @@ def ngram_jaccard_pairs(
     and never a per-pair array re-intersection, which measured 3× slower).
     This is the ground-truth verifier that MinHash candidates are checked
     against."""
-    from pyspark.sql import Window
-
     sh = _shingle_docs(docs).persist()  # consumed by index + sizes
+    if cleanup is not None:
+        cleanup.append(sh)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
-    # document frequency per shingle via a window over the SAME s-partitioned
-    # exchange the self-join needs — one shuffle of the index serves the df
-    # computation, the cold side, and the hot side (vs a separate groupBy +
-    # anti-join, which costs two more full-index shuffles)
-    flagged = exploded.withColumn(
-        "df", F.count("*").over(Window.partitionBy("s"))
-    ).persist()  # one window pass serves the probe, the cold and hot sides
-    hot_idx = flagged.filter(F.col("df") > shingle_df_cap).drop("df")
+    # the HOT-shingle set via a hash aggregate: map-side partial aggregation
+    # collapses duplicate shingles before the shuffle, and only the ≤
+    # |distinct s| counts move — measured faster than the earlier
+    # window-over-s variant, which had to SORT every index partition to
+    # attach a per-row df (the window pass cost ~10% of the whole query on
+    # a corpus with no hot shingles at all)
+    hot = (
+        exploded.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > shingle_df_cap)
+        .select("s")
+        .persist()
+    )
+    if cleanup is not None:
+        cleanup.append(hot)
     # honest-corpus fast path: no hot shingles at all → cold counts ARE the
-    # exact full-set counts; one cheap probe on the cached index skips the
-    # three correction stages
-    has_hot = not hot_idx.isEmpty()
-    idx = flagged.filter(F.col("df") <= shingle_df_cap).drop("df")
+    # exact full-set counts and the split joins vanish; the count also
+    # size-gates the split strategy (hot is bounded by |corpus|/cap, tiny by
+    # construction, so the anti/semi joins are BROADCAST — the full index is
+    # never shuffled just to split it; past the gate AQE picks the join)
+    n_hot = hot.count()
+    has_hot = n_hot > 0
+    if not has_hot:
+        idx = exploded
+        hot_idx = None
+    elif n_hot <= _HOT_BROADCAST_MAX:
+        idx = exploded.join(F.broadcast(hot), "s", "left_anti")
+        hot_idx = exploded.join(F.broadcast(hot), "s", "left_semi")
+    else:  # pathological corpus: millions of distinct hot shingles
+        idx = exploded.join(hot, "s", "left_anti")
+        hot_idx = exploded.join(hot, "s", "left_semi")
     a = idx.alias("a")
     b = idx.alias("b")
     cold = (
@@ -211,11 +248,14 @@ def ngram_jaccard_pairs(
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(
+    cleanup: list[DataFrame] = []
+    pairs = ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") < _DEDUP_DOC_LIMIT
-        )
+        ),
+        cleanup=cleanup,
     )
+    return _finalize(pairs, cleanup)
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
@@ -283,7 +323,9 @@ def _minhash_signatures(sh: DataFrame, num_perm: int = MINHASH_NUM_PERM) -> Data
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
+    docs: DataFrame,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    cleanup: list[DataFrame] | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs over any (doc_id, text) DataFrame,
     verified: signatures → band buckets → bucket equi-join for candidates →
@@ -298,6 +340,8 @@ def minhash_lsh_pairs(
     exactly the same pairs as dedup_ngram_jaccard (recall=1 at threshold 0.5
     given the LSH s-curve)."""
     sh = _shingle_docs(docs).persist()  # consumed 3×: sigs + both verify sides
+    if cleanup is not None:
+        cleanup.append(sh)
     sigs = _minhash_signatures(sh)
     rows_per_band = MINHASH_NUM_PERM // LSH_BANDS
     bands = sigs.select(
@@ -338,11 +382,14 @@ def minhash_lsh_pairs(
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(
+    cleanup: list[DataFrame] = []
+    pairs = minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") < _DEDUP_DOC_LIMIT
-        )
+        ),
+        cleanup=cleanup,
     )
+    return _finalize(pairs, cleanup)
 
 
 # --- near-dup clusters (connected components) --------------------------------------

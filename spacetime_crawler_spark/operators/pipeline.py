@@ -28,6 +28,7 @@ from spacetime_crawler_spark.operators.dedup import (
     _DUCK_SHINGLES,
     _JACCARD_THRESHOLD,
     SHINGLE_DF_CAP,
+    _finalize,
     ngram_jaccard_pairs,
 )
 from spacetime_crawler_spark.operators.textstats import (
@@ -71,11 +72,12 @@ def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "text", "n_tokens")
     )
     # near-dup prune over the survivors: drop the higher id of each pair
-    near_b = ngram_jaccard_pairs(kept_exact.select("doc_id", "text")).select(
-        F.col("doc_b").alias("doc_id")
-    ).distinct()
+    cleanup: list[DataFrame] = []
+    near_b = ngram_jaccard_pairs(
+        kept_exact.select("doc_id", "text"), cleanup=cleanup
+    ).select(F.col("doc_b").alias("doc_id")).distinct()
     kept = kept_exact.join(near_b, "doc_id", "left_anti")
-    return (
+    out = (
         kept.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs_kept"),
@@ -83,6 +85,10 @@ def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+    # the result is one tiny row per language: materialize it eagerly and
+    # release the shingle-index caches (a long-lived session must not pin
+    # them after the query)
+    return _finalize(out, cleanup)
 
 
 PIPELINE_TRAINING_SET_SQL = f"""

@@ -198,11 +198,17 @@ def sim_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key the cache by a CONTENT fingerprint of the source table (path +
     # size + mtime), not just its path — regenerated data at the same path
     # must invalidate the index, or the probe would silently serve
-    # neighbors of vectors that no longer exist
+    # neighbors of vectors that no longer exist.  The LSH geometry (plane
+    # matrix + table/bit constants) is part of the key too: a code change
+    # to _hyperplanes()/LSH_* must invalidate the index, or the probe would
+    # rerank candidates from buckets laid out under the OLD planes.
     src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
     st = os.stat(src)
+    geom = hashlib.md5(
+        repr((LSH_TABLES, LSH_BITS_PER_TABLE, _hyperplanes())).encode()
+    ).hexdigest()[:8]
     tag = hashlib.md5(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|{geom}".encode()
     ).hexdigest()[:12]
     index_dir = os.path.join(tempfile.gettempdir(), f"scs_ann_index_{tag}")
     if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):

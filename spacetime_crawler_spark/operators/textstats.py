@@ -158,7 +158,27 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
            "o3 ", "zai", "ai4", "you", "ou3", "u3 ", "he2", "e2 ", "ni3",
            "i3 ", "men", "en5", "n5 ", "ta1", "a1 ", "hao", "ao3", "zhe",
            "he4", "e4 ", "ge4", "ng2", "ng3", "uo1", "o1 ", "n3 "),
+    "pt": (" de", "de ", " qu", "que", "ue ", "ão ", "ção", "açã", " co",
+           "os ", "as ", "es ", " es", "est", " um", "um ", "da ", " da",
+           "do ", " do", "ent", "nte", " pa", "par", "ara", "ra ", " se",
+           "em ", " em", "com", "não", " nã", "ada", "ndo", " fo"),
+    "it": (" di", "di ", " ch", "che", "he ", " la", "la ", " il", "il ",
+           " co", "con", "on ", "re ", "del", "ell", "lla", " un", "un ",
+           "una", "to ", "ion", "zio", "one", " pe", "per", "er ", "ato",
+           "ta ", "gli", " gl", "ità", "men", "nte", " so", "no "),
+    "nl": (" de", "de ", "en ", " he", "het", "et ", "van", " va", "an ",
+           "een", " ee", "n d", " ge", "ijk", "ij ", "aar", "oor", " vo",
+           "voo", "der", " da", "dat", "at ", "ver", "cht", "ing", "ng ",
+           " ni", "nie", "iet", " op", "op ", " zi", "ijn", "jn "),
 }
+
+# reliability gate for the confidence column: a prediction is flagged
+# reliable when the winner has at least _RELIABLE_MIN_HITS profile hits AND
+# beats the runner-up by at least _RELIABLE_MIN_MARGIN (the two failure
+# modes downstream filters care about: too little signal, or two languages
+# within noise of each other — e.g. pt vs es on short Romance snippets)
+_RELIABLE_MIN_HITS = 3
+_RELIABLE_MIN_MARGIN = 2
 
 # first 1000 chars are ample signal; bounds per-row HOF cost on huge docs
 _LANGID_PREFIX = 1000
@@ -180,10 +200,13 @@ _LANGID_TRIGRAMS_FROM_NT = """
 
 
 def langid_scores(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) → (doc_id, pred_lang, n_hits): occurrence count of
-    each language profile's trigrams over the normalized text prefix, argmax
-    with a pinned tie-break (profile dict order), 'und' on zero hits
-    everywhere.  Pure column expressions — map-only, fully codegen'd."""
+    """(doc_id, text) → (doc_id, pred_lang, n_hits, margin, is_reliable):
+    occurrence count of each language profile's trigrams over the normalized
+    text prefix, argmax with a pinned tie-break (profile dict order), 'und'
+    on zero hits everywhere.  margin = winner hits − runner-up hits;
+    is_reliable gates on both absolute signal and margin so curation filters
+    can threshold confidence instead of trusting every argmax.  Pure column
+    expressions — map-only, fully codegen'd."""
     scored = docs.select(
         "doc_id", F.expr(_LANGID_NORM).alias("nt")
     ).select("doc_id", F.expr(_LANGID_TRIGRAMS_FROM_NT).alias("tg"))
@@ -196,10 +219,26 @@ def langid_scores(docs: DataFrame) -> DataFrame:
     scored = scored.select("doc_id", *score_cols)
     langs = list(LANG_TRIGRAMS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    # runner-up via one descending sort of the small fixed-width score array
+    second = F.expr(
+        "sort_array(array({}), false)[1]".format(
+            ", ".join(f"score_{lang}" for lang in langs)
+        )
+    )
     pred = F.when(best == 0, F.lit("und"))
     for lang in langs:
         pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
-    return scored.select("doc_id", pred.alias("pred_lang"), best.alias("n_hits"))
+    margin = (best - second).alias("margin")
+    return scored.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best.alias("n_hits"),
+        margin,
+        (
+            (best >= _RELIABLE_MIN_HITS)
+            & ((best - second) >= _RELIABLE_MIN_MARGIN)
+        ).alias("is_reliable"),
+    )
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -171,6 +171,47 @@ GROUP BY 1, 2
 """
 
 
+# graph_pagerank — iterative fixpoint over a testdata-derived graph ----------
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph: a distinct edge cust-nation →
+    supp-nation for every lineitem whose customer and supplier sit in
+    different nations; all 25 nations are vertices (isolated ones exercise
+    the dangling-mass path).  The driver check is rows-only (iterative
+    fixpoint isn't ANSI SQL); tests/test_crawl_reports.py pins the SAME
+    generic pagerank() kernel against a pure-Python oracle, and
+    tests/test_plans.py pins this query's edge set + mass conservation."""
+    from spacetime_crawler_spark.plans.crawl_reports import pagerank
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n_src = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("src")
+    )
+    n_dst = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_src), "c_nationkey")
+        .join(F.broadcast(n_dst), "s_nationkey")
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = nation.select(F.col("n_name").alias("node"))
+    return pagerank(nodes, edges)
+
+
 # F1 demo — native (pushable) URL-validity-style predicate --------------------
 
 def f1_urlfilter_is_valid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,9 +15,11 @@ join is keyed on xxhash64(url_norm) (narrow shuffle key, AQE skew-join
 handles hot hosts); robots/bloom sidecars are broadcasts; the per-host
 scheduler is two-phase-ranked then applyInPandas on quota-bounded groups;
 `seen` and candidates are both repartitioned by pmod(url_hash, P) so the
-anti-join co-partitions (with Iceberg bucket(P) this shuffle disappears
-entirely).  Lineage never spans rounds — every round re-reads committed
-state, the Spark analogue of the reference's save-file sync.
+anti-join co-partitions; on the Iceberg backend the seen/frontier tables are
+CREATED with bucket(P, url_hash) DDL (sources/io_tables.py::iceberg_layout),
+so under storage-partitioned joins that exchange disappears entirely.
+Lineage never spans rounds — every round re-reads committed state, the
+Spark analogue of the reference's save-file sync.
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spacetime_crawler_spark.operators import bloom
@@ -297,15 +299,21 @@ def run_crawl(
         io.reset()
     if start_round == 0:
         frontier, seen = init_frontier(spark, seeds, cfg)
-        io.write("frontier", 0, frontier)
+        # row counts ride the write actions as observed metrics — a count is
+        # NEVER a separate Spark job anywhere in the loop (per-round driver
+        # job count is the fixed cost F that caps local scaling efficiency)
+        obs_f0, obs_s0 = Observation(), Observation()
+        io.write("frontier", 0,
+                 frontier.observe(obs_f0, F.count(F.lit(1)).alias("n")))
         # `seen` is stored as per-round DELTAS (round=N holds only the URLs
         # first seen in round N): writes are O(new), never O(total) — the
         # snapshot-rewrite alternative re-writes the whole 10^10-key set
         # every round.  Readers union the latest compacted snapshot plus the
         # ≤K tail deltas (see read_seen_up_to); Iceberg backend compacts
         # natively.
-        io.write("seen", 0, seen.repartition(cfg.n_parts, "url_hash"))
-        tables = {"frontier": frontier.count(), "seen": seen.count()}
+        io.write("seen", 0, seen.repartition(cfg.n_parts, "url_hash")
+                 .observe(obs_s0, F.count(F.lit(1)).alias("n")))
+        tables = {"frontier": obs_f0.get["n"], "seen": obs_s0.get["n"]}
         if cfg.use_bloom:
             # the bloom sidecar is itself a committed state table: resume
             # reads it back in O(P) instead of rebuilding from the seen set
@@ -338,10 +346,12 @@ def run_crawl(
         t0 = time.monotonic()
         m = RoundMetrics(round=rnd)
         round_persists: list[DataFrame] = []
+        # the committed manifest already records last round's frontier row
+        # count — an isEmpty() probe job here would be pure fixed cost
+        if io.manifest("frontier", rnd - 1)["rows"] == 0:
+            break
         frontier = io.read(spark, "frontier", rnd - 1)
         seen = read_seen_up_to(spark, io, rnd - 1)
-        if frontier.isEmpty():
-            break
 
         # F6 + F7 — gate and schedule
         gated = robots_gate(frontier, robots_rules).persist()
@@ -393,15 +403,17 @@ def run_crawl(
             "text_sha256",
             "content_len",
         )
-        io.write("fetch_log", rnd, fetch_log)
-        # one read-back aggregate supplies both counts (no lineage recompute,
-        # one Spark job instead of two)
-        stats = io.read_uncommitted(spark, "fetch_log", rnd).agg(
-            F.count("*").alias("n"),
+        # both counts ride the write action as observed metrics (zero extra
+        # jobs — no lineage recompute, no read-back)
+        obs_log = Observation()
+        io.write("fetch_log", rnd, fetch_log.observe(
+            obs_log,
+            F.count(F.lit(1)).alias("n"),
             F.sum((F.col("status") == 200).cast("long")).alias("ok"),
-        ).collect()[0]
-        m.urls_selected = stats.n
-        m.urls_fetched_ok = stats.ok or 0
+        ))
+        log_stats = obs_log.get
+        m.urls_selected = log_stats["n"]
+        m.urls_fetched_ok = log_stats["ok"] or 0
         m.urls_404 = m.urls_selected - m.urls_fetched_ok
 
         # F1 — native validity filter over the already-extracted links
@@ -456,7 +468,12 @@ def run_crawl(
             )
             new_urls = definitely_new.unionByName(checked_new)
         else:
-            m.candidates = candidates.count()
+            # candidates has exactly one downstream consumer here, so its
+            # count can ride the frontier write as an observed metric
+            obs_cand = Observation()
+            candidates = candidates.observe(
+                obs_cand, F.count(F.lit(1)).alias("n")
+            )
             new_urls = candidates.repartition(cfg.n_parts, "url_hash").join(
                 seen.repartition(cfg.n_parts, "url_hash"),
                 ["url_hash", "url_norm"],
@@ -466,7 +483,6 @@ def run_crawl(
         new_frontier_rows = new_urls.withColumn(
             "host", F.lower(F.parse_url("url_norm", F.lit("HOST")))
         ).select(*FRONTIER_COLS).persist()
-        m.urls_new = new_frontier_rows.count()
 
         # F11 — merge: leftover ∪ newly discovered (min depth per url)
         next_frontier = (
@@ -480,10 +496,23 @@ def run_crawl(
             "url_norm", "url_hash", "h2"
         ).withColumn("round_seen", F.lit(rnd))
 
-        io.write("frontier", rnd, next_frontier)
-        io.write("seen", rnd, seen_delta.repartition(cfg.n_parts, "url_hash"))
+        # The frontier write is the round's one lineage-materializing action
+        # (it populates the new_frontier_rows cache); the seen write then
+        # reads that cache.  Row counts for the manifest ride both writes as
+        # observed metrics — the old read-back count() and urls_new count()
+        # jobs are gone.
+        obs_front, obs_seen = Observation(), Observation()
+        io.write("frontier", rnd,
+                 next_frontier.observe(obs_front, F.count(F.lit(1)).alias("n")))
+        io.write("seen", rnd,
+                 seen_delta.repartition(cfg.n_parts, "url_hash")
+                 .observe(obs_seen, F.count(F.lit(1)).alias("n")))
+        n_frontier = obs_front.get["n"]
+        m.urls_new = obs_seen.get["n"]
+        if not cfg.use_bloom:
+            m.candidates = obs_cand.get["n"]
         tables = {
-            "frontier": None,  # filled below from the written files
+            "frontier": n_frontier,
             "seen": m.urls_new,  # delta count; snapshot is full
             "fetch_log": m.urls_selected,
         }
@@ -501,15 +530,13 @@ def run_crawl(
             # compaction: one full snapshot so seen readers union ≤K+1 files
             # instead of O(rounds); committed atomically with the round
             snapshot = seen.unionByName(io.read_uncommitted(spark, "seen", rnd))
+            obs_snap = Observation()
             io.write(
-                "seen_snapshot", rnd, snapshot.repartition(cfg.n_parts, "url_hash")
+                "seen_snapshot", rnd,
+                snapshot.repartition(cfg.n_parts, "url_hash")
+                .observe(obs_snap, F.count(F.lit(1)).alias("n")),
             )
-            tables["seen_snapshot"] = io.read_uncommitted(
-                spark, "seen_snapshot", rnd
-            ).count()
-        # count from the files just written — never recompute round lineage
-        n_frontier = io.read_uncommitted(spark, "frontier", rnd).count()
-        tables["frontier"] = n_frontier
+            tables["seen_snapshot"] = obs_snap.get["n"]
         m.wall_s = time.monotonic() - t0
         io.commit(rnd, tables)
         run.metrics.append(m)

@@ -98,54 +98,49 @@ def host_link_edges(fetch_log: DataFrame, pages_latest: DataFrame) -> DataFrame:
     )
 
 
-def host_pagerank(
-    fetch_log: DataFrame,
-    pages_latest: DataFrame,
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
     iters: int = 10,
     damping: float = 0.85,
 ) -> DataFrame:
-    """PageRank over the crawled host graph — the score a frontier
-    prioritizer feeds back into scheduling (crawl what well-linked hosts
-    point at first).  Iterative-algorithm representative of the engine:
-    fixed iteration count (deterministic), each step a keyed join +
-    aggregate, per-step localCheckpoint so the plan stays O(1) deep,
-    dangling mass redistributed uniformly (the standard correction — rank
-    mass is conserved, asserted in tests against a pure-Python oracle)."""
-    edges = host_link_edges(fetch_log, pages_latest).persist()
-    out_deg = edges.groupBy("src_host").agg(F.count("*").alias("out_deg"))
-    nodes = (
-        fetch_log.filter(F.col("status") == 200)
-        .select(F.col("host"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    """Generic PageRank: nodes(node), edges(src, dst) → (node, rank).
+    Iterative-algorithm representative of the engine: fixed iteration count
+    (deterministic), each step a keyed join + aggregate, per-step
+    localCheckpoint so the plan stays O(1) deep, dangling mass redistributed
+    uniformly (the standard correction — rank mass is conserved, asserted in
+    tests against a pure-Python oracle).  One scalar collect per iteration
+    (the dangling mass); everything else stays distributed."""
+    edges = edges.select("src", "dst").persist()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    nodes = nodes.select("node").distinct().localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(iters):
-        with_deg = ranks.join(out_deg, ranks.host == out_deg.src_host, "left")
+        with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left")
         dangling = (
             with_deg.filter(F.col("out_deg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .collect()[0][0]
         )
         contribs = (
-            edges.join(ranks, edges.src_host == ranks.host)
+            edges.join(ranks, edges.src == ranks.node)
             .select(
-                F.col("dst_host").alias("host"),
+                F.col("dst").alias("node"),
                 F.col("rank").alias("src_rank"),
-                "src_host",
+                "src",
             )
-            .join(out_deg, "src_host")
-            .groupBy("host")
+            .join(out_deg, "src")
+            .groupBy("node")
             .agg(F.sum(F.col("src_rank") / F.col("out_deg")).alias("contrib"))
         )
         base = (1.0 - damping) / n + damping * dangling / n
         new_ranks = (
-            nodes.join(contribs, "host", "left")
+            nodes.join(contribs, "node", "left")
             .select(
-                "host",
+                "node",
                 (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0)))
                 .alias("rank"),
             )
@@ -155,8 +150,30 @@ def host_pagerank(
         ranks = new_ranks
     edges.unpersist()
     nodes.unpersist()
-    return ranks.select("host", F.round("rank", 8).alias("rank")).orderBy(
-        F.desc("rank"), F.asc("host")
+    return ranks.select("node", F.round("rank", 8).alias("rank")).orderBy(
+        F.desc("rank"), F.asc("node")
+    )
+
+
+def host_pagerank(
+    fetch_log: DataFrame,
+    pages_latest: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the crawled host graph — the score a frontier
+    prioritizer feeds back into scheduling (crawl what well-linked hosts
+    point at first).  Thin wrapper over the generic pagerank()."""
+    edges = host_link_edges(fetch_log, pages_latest).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    nodes = (
+        fetch_log.filter(F.col("status") == 200)
+        .select(F.col("host").alias("node"))
+        .distinct()
+    )
+    return pagerank(nodes, edges, iters, damping).select(
+        F.col("node").alias("host"), "rank"
     )
 
 

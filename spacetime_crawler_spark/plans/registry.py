@@ -32,6 +32,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "a4_common_words": analytics.a4_common_words,
     "a5_crawl_depth_stats": analytics.a5_crawl_depth_stats,
     "a6_host_link_graph": analytics.a6_host_link_graph,
+    "graph_pagerank": analytics.graph_pagerank,
     # Group F — crawl operators over the synthetic pages world (rows-only)
     "f2_canonicalize": crawl_demos.f2_canonicalize,
     "f6_robots_gate": crawl_demos.f6_robots_gate,
@@ -110,7 +111,7 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_binary_meta": multimodal.MULTIMODAL_BINARY_META_SQL,
     "pipeline_training_set": pipeline.PIPELINE_TRAINING_SET_SQL,
     # rows-only (non-SQL-expressible): a1_approx_unique_pages (HLL sketch),
-    # dedup_minhash_lsh / dedup_simhash (hash sketches), dedup_components
-    # (iterative fixpoint), sim_ann_* (ANN), text_langid (heuristic argmax),
-    # multimodal_fake_features (UDF featurizer)
+    # dedup_minhash_lsh / dedup_simhash (hash sketches), dedup_components /
+    # graph_pagerank (iterative fixpoints), sim_ann_* (ANN), text_langid
+    # (heuristic argmax), multimodal_fake_features (UDF featurizer)
 }

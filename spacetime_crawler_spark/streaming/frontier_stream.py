@@ -89,6 +89,115 @@ def candidate_stream_from_dir(spark: SparkSession, path: str, n_parts: int = 32)
     ).withColumn("bucket", F.pmod("url_hash", F.lit(n_parts)).cast("int"))
 
 
+# --- F7 as a continuous operator: per-host politeness scheduler ---------------
+
+SCHED_IN_SCHEMA = (
+    "host string, url_norm string, url_hash bigint, depth int,"
+    " crawl_delay double"
+)
+SCHED_OUT_SCHEMA = (
+    "host string, url_norm string, url_hash bigint, depth int,"
+    " crawl_delay double, sched_round int, fetch_seq int, due_s double"
+)
+# state = the host's backlog (allowed-but-over-quota URLs, the streaming
+# analogue of the batch engine's leftover frontier) + the invocation counter
+# and the host's pinned crawl_delay
+_SCHED_STATE_SCHEMA = (
+    "rounds int, crawl_delay double, backlog_url array<string>,"
+    " backlog_hash array<bigint>, backlog_depth array<int>"
+)
+_SCHED_COLS = [
+    "host", "url_norm", "url_hash", "depth", "crawl_delay",
+    "sched_round", "fetch_seq", "due_s",
+]
+
+
+def _make_sched_fn(round_budget_s: float, use_timeout: bool):
+    """Per-host scheduler kernel, quota discipline identical to the batch
+    operators/politeness.py::schedule_round: each invocation ("round")
+    merges new candidates into the backlog (min discovery depth per url —
+    the F11 rule), emits the top quota = floor(budget / crawl_delay) in
+    (depth, url_norm) priority order with fetch_seq 1..q and the virtual
+    due time, and keeps the rest as backlog state.  Differentially tested
+    round-for-round against the batch scheduler + leftover carry
+    (tests/test_streaming.py)."""
+    import math
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        host = key[0]
+        if state.exists:
+            rounds, delay, b_url, b_hash, b_depth = state.get
+            pending = {
+                u: (int(d), int(h))
+                for u, h, d in zip(b_url, b_hash, b_depth)
+            }
+        else:
+            rounds, delay, pending = 0, None, {}
+        for pdf in pdfs:
+            if delay is None and len(pdf):
+                delay = float(pdf["crawl_delay"].iloc[0])
+            for u, h, d in zip(
+                pdf["url_norm"], pdf["url_hash"], pdf["depth"]
+            ):
+                d, h = int(d), int(h)
+                if u not in pending or d < pending[u][0]:
+                    pending[u] = (d, h)
+        rounds += 1
+        out = []
+        if delay is not None and pending:
+            quota = int(math.floor(round_budget_s / delay))
+            if quota >= 1:
+                # priority order — identical to the batch window/pandas sort
+                ordered = sorted(
+                    pending.items(), key=lambda kv: (kv[1][0], kv[0])
+                )
+                for seq, (u, (d, h)) in enumerate(ordered[:quota], start=1):
+                    out.append(
+                        (host, u, h, d, delay, rounds, seq, delay * seq)
+                    )
+                    del pending[u]
+        urls = list(pending)
+        state.update((
+            rounds, delay,
+            urls,
+            [pending[u][1] for u in urls],
+            [pending[u][0] for u in urls],
+        ))
+        if use_timeout and delay is not None:
+            # production mode: a backlogged host drains on its own politeness
+            # timer even when no new candidates arrive for it
+            state.setTimeoutDuration(int(delay * 1000))
+        if out:
+            yield pd.DataFrame(out, columns=_SCHED_COLS)
+
+    return fn
+
+
+def streaming_politeness_schedule(
+    gated: DataFrame, round_budget_s: float, use_timeout: bool = False
+) -> DataFrame:
+    """gated candidate stream (SCHED_IN_SCHEMA rows, robots-gated upstream)
+    → continuous per-host fetch schedule.  State shards by host — the same
+    partitioning the batch scheduler's applyInPandas uses, and per-host
+    state is bounded by the backlog size (at 10^10 scale the backlog IS the
+    frontier, so production deployments cap per-host backlog upstream via
+    the F4 top-k operator).  use_timeout=True arms a ProcessingTimeTimeout
+    of crawl_delay per host so backlogs drain without new input (the live
+    deployment mode; deterministic tests drive rounds by input instead)."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if use_timeout
+        else GroupStateTimeout.NoTimeout
+    )
+    return gated.groupBy("host").applyInPandasWithState(
+        _make_sched_fn(round_budget_s, use_timeout),
+        outputStructType=SCHED_OUT_SCHEMA,
+        stateStructType=_SCHED_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 FETCH_LOG_STREAM_SCHEMA = (
     "round int, part_id int, host string, url_norm string, url_hash bigint,"
     " depth int, fetch_seq int, due_s double, status int, text_sha256 string,"

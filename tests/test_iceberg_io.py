@@ -9,19 +9,29 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from spacetime_crawler_spark.sources.io_tables import STATE_ROUND_COL, IcebergIO
+from spacetime_crawler_spark.sources.io_tables import (
+    ICEBERG_BUCKETS,
+    STATE_ROUND_COL,
+    IcebergIO,
+    iceberg_layout,
+)
 
 
 class FakeStore:
     """In-memory TableStore: append/replace_round/read over held DataFrames.
     localCheckpoint(eager) mimics Iceberg's materialize-on-commit so reads
-    never recompute writer lineage."""
+    never recompute writer lineage.  On first create it records the SAME
+    partition spec SparkIcebergStore._create would issue as DDL, so the
+    contract tests can assert the requested layout without Iceberg jars."""
 
     def __init__(self, spark):
         self.spark = spark
         self.tables: dict = {}
+        self.layouts: dict = {}
 
     def _put(self, name, df):
+        if name not in self.tables:
+            self.layouts[name] = iceberg_layout(name, df.columns)
         self.tables[name] = df.localCheckpoint(eager=True)
 
     def append_rows(self, name, rows, schema):
@@ -43,14 +53,9 @@ class FakeStore:
             raise FileNotFoundError(name)
         return self.tables[name]
 
-    def read_or_none(self, name):
-        try:
-            return self.read(name).collect()
-        except FileNotFoundError:
-            return None
-
     def drop_all(self):
         self.tables.clear()
+        self.layouts.clear()
 
 
 @pytest.fixture()
@@ -125,6 +130,29 @@ def test_payload_round_column_passes_through(spark, iio):
     row = iio.read(spark, "fetch_log", 1).collect()[0]
     assert row.round == 7 and row.host == "a"
     assert STATE_ROUND_COL not in iio.read(spark, "fetch_log", 1).columns
+
+
+def test_bucketed_table_layout_requested(spark, iio):
+    """SURVEY §1.2 promises `seen` laid out as bucket(P, url_hash) — assert
+    the DDL spec the store is asked to create: identity(_state_round) on
+    every table, plus bucket(P, url_hash) on the url_hash-keyed ones (which
+    makes the F3 anti-join storage-co-partitioned on a real catalog)."""
+    df = spark.createDataFrame(
+        [("u", 1, 2, 0)], "url_norm string, url_hash long, h2 int, round_seen int"
+    )
+    iio.write("seen", 0, df)
+    iio.write("fetch_log", 0, spark.createDataFrame([(1, "h")], "round int, host string"))
+    assert iio.store.layouts["seen"] == (
+        ("identity", STATE_ROUND_COL),
+        ("bucket", ICEBERG_BUCKETS, "url_hash"),
+    )
+    # non-keyed tables partition by round only — never a spurious bucket spec
+    assert iio.store.layouts["fetch_log"] == (("identity", STATE_ROUND_COL),)
+    # the pure spec function used by the real DDL agrees
+    assert iceberg_layout("frontier", ["url_norm", "url_hash", STATE_ROUND_COL]) == (
+        ("identity", STATE_ROUND_COL),
+        ("bucket", ICEBERG_BUCKETS, "url_hash"),
+    )
 
 
 def test_full_crawl_engine_parity_with_parquet_backend(spark, tmp_path):

@@ -116,3 +116,52 @@ def test_crawl_fetch_join_broadcasts_and_never_shuffles_html(spark):
     assert parts, "expected shuffle exchanges in the fallback plan"
     for clause in parts:
         assert "html" not in clause, clause
+
+
+def test_graph_pagerank_matches_pure_python(spark):
+    """The testdata PageRank (nation trade graph) must equal a pure-Python
+    PageRank over the SAME edge set and conserve rank mass — the driver row
+    for graph_pagerank is rows-only, so this pins its values."""
+    from spacetime_crawler_spark.plans import analytics
+    from spacetime_crawler_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.node: r.rank for r in analytics.graph_pagerank(spark, sf).collect()}
+
+    # rebuild the edge list independently with plain SQL-ish collects
+    cust = {r.c_custkey: r.c_nationkey
+            for r in load_table(spark, sf, "customer").collect()}
+    supp = {r.s_suppkey: r.s_nationkey
+            for r in load_table(spark, sf, "supplier").collect()}
+    nname = {r.n_nationkey: r.n_name
+             for r in load_table(spark, sf, "nation").collect()}
+    ocust = {r.o_orderkey: r.o_custkey
+             for r in load_table(spark, sf, "orders").collect()}
+    edges = set()
+    for r in load_table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_suppkey").collect():
+        s = nname[cust[ocust[r.l_orderkey]]]
+        t = nname[supp[r.l_suppkey]]
+        if s != t:
+            edges.add((s, t))
+    nodes = sorted(nname.values())
+    n, d = len(nodes), 0.85
+    out: dict = {}
+    for s, t in edges:
+        out.setdefault(s, set()).add(t)
+    rank = {h: 1.0 / n for h in nodes}
+    for _ in range(10):
+        dangling = sum(rank[h] for h in nodes if h not in out)
+        contrib = {h: 0.0 for h in nodes}
+        for s, ts in out.items():
+            share = rank[s] / len(ts)
+            for t in ts:
+                contrib[t] += share
+        base = (1 - d) / n + d * dangling / n
+        rank = {h: base + d * contrib[h] for h in nodes}
+
+    assert set(got) == set(nodes)
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+    for h in nodes:
+        assert abs(got[h] - rank[h]) < 1e-6, (h, got[h], rank[h])
+    assert edges and len(set(got.values())) > 1

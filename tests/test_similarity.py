@@ -84,16 +84,28 @@ def test_langid_trigram_snippets_unseen_vocab(spark):
         (4, "les enfants marchaient dans la rue et chantaient une chanson douce"),
         (5, "wo3 men5 zai4 zhe4 li3 you3 hen3 duo1 hao3 peng2 you3"),
         (6, "qqq vvv kkk"),  # no profile hits anywhere
+        (7, "quando chegamos não encontramos informação sobre a situação da cidade"),
+        (8, "quando arrivammo nella città vedemmo una piazza meravigliosa con molte persone"),
+        (9, "toen wij door het bos liepen zagen een mooie plek van de rivier"),
     ]
     df = spark.createDataFrame(pdf, ["doc_id", "text"])
-    got = {r.doc_id: (r.pred_lang, r.n_hits)
+    got = {r.doc_id: (r.pred_lang, r.n_hits, r.margin, r.is_reliable)
            for r in textstats.langid_scores(df).collect()}
     assert got[1][0] == "en", got
     assert got[2][0] == "es", got
     assert got[3][0] == "de", got
     assert got[4][0] == "fr", got
     assert got[5][0] == "zh", got
-    assert got[6] == ("und", 0), got
+    assert got[6][:2] == ("und", 0), got
+    assert got[7][0] == "pt", got
+    assert got[8][0] == "it", got
+    assert got[9][0] == "nl", got
+    # confidence contract: zero-hit rows are never reliable; a clearly
+    # in-language snippet has positive margin and passes the gate
+    assert got[6][3] is False and got[6][2] == 0, got
+    assert got[1][3] is True and got[1][2] >= 2, got
+    for d in (2, 3, 4, 5, 7, 8, 9):
+        assert got[d][2] >= 1, (d, got[d])
 
 
 def test_langid_short_text_guard(spark):

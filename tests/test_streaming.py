@@ -121,3 +121,92 @@ def test_streaming_fetch_metrics_window(spark, tmp_path):
     ).collect()
     by_host = {r.host: (r.n_fetches, r.n_ok) for r in out}
     assert by_host == {"h1.com": (5, 5), "h2.com": (3, 0)}
+
+
+def test_streaming_politeness_matches_batch_scheduler(spark, tmp_path):
+    """The continuous scheduler must emit, round for round, EXACTLY what the
+    batch schedule_round + leftover carry emits over the same per-round
+    candidate arrivals: same urls, same fetch_seq order, same virtual due
+    times, same quota discipline (incl. a host whose quota is 0)."""
+    import time
+
+    from spacetime_crawler_spark.operators.politeness import (
+        leftover_after_schedule,
+        schedule_round,
+    )
+
+    BUDGET = 4.0
+    DELAYS = {"h1.com": 1.0, "h2.com": 2.0, "h3.com": 5.0}  # quotas 4/2/0
+    ROUNDS = 3
+
+    def new_rows(rnd):
+        rows = []
+        for i in range(6):
+            rows.append(("h1.com", f"http://h1.com/r{rnd}/p{i}", 1.0))
+        for i in range(3):
+            rows.append(("h2.com", f"http://h2.com/r{rnd}/p{i}", 2.0))
+        rows.append(("h3.com", f"http://h3.com/r{rnd}/p0", 5.0))
+        return [
+            (h, u, rnd % 2, d) for (h, u, d), rnd in
+            ((r, rnd) for r in rows)
+        ]
+
+    def as_df(rows):
+        return spark.createDataFrame(
+            rows, "host string, url_norm string, depth int, crawl_delay double"
+        ).withColumn("url_hash", F.xxhash64("url_norm")).withColumn(
+            "h2", F.hash("url_norm")
+        )
+
+    # --- batch reference: schedule_round + leftover carry, min-depth merge
+    delays_df = spark.createDataFrame(
+        list(DELAYS.items()), "host string, crawl_delay double"
+    )
+    batch_by_round = {}
+    frontier = as_df(new_rows(1))
+    for rnd in range(1, ROUNDS + 1):
+        selected = schedule_round(frontier, BUDGET).persist()
+        batch_by_round[rnd] = sorted(
+            (r.host, r.url_norm, r.fetch_seq, r.due_s)
+            for r in selected.collect()
+        )
+        leftover = leftover_after_schedule(frontier, selected)
+        if rnd < ROUNDS:
+            nxt = as_df(new_rows(rnd + 1)).select(
+                "url_norm", "url_hash", "h2", "host", "depth"
+            )
+            frontier = (
+                leftover.unionByName(nxt)
+                .groupBy("url_norm", "url_hash", "h2", "host")
+                .agg(F.min("depth").alias("depth"))
+                .join(delays_df, "host")
+            )
+
+    # --- streaming: one file per round, one micro-batch per file
+    src = str(tmp_path / "sched_src")
+    os.makedirs(src)
+    for rnd in range(1, ROUNDS + 1):
+        as_df(new_rows(rnd)).select(
+            "host", "url_norm", "url_hash", "depth", "crawl_delay"
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)  # distinct mtimes → deterministic trigger order
+
+    stream = (
+        spark.readStream.schema(fs.SCHED_IN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_to_memory(
+        fs.streaming_politeness_schedule(stream, BUDGET), spark, "sched_out"
+    ).collect()
+    stream_by_round = {}
+    for r in out:
+        stream_by_round.setdefault(r.sched_round, []).append(
+            (r.host, r.url_norm, r.fetch_seq, r.due_s)
+        )
+    assert set(stream_by_round) == set(batch_by_round)
+    for rnd in batch_by_round:
+        assert sorted(stream_by_round[rnd]) == batch_by_round[rnd], rnd
+    # quota-0 host must never be scheduled by either path
+    assert not any(h == "h3.com" for h, *_ in
+                   [t for ts in stream_by_round.values() for t in ts])
