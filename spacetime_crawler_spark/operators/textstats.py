@@ -170,6 +170,12 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
            "een", " ee", "n d", " ge", "ijk", "ij ", "aar", "oor", " vo",
            "voo", "der", " da", "dat", "at ", "ver", "cht", "ing", "ng ",
            " ni", "nie", "iet", " op", "op ", " zi", "ijn", "jn "),
+    # Russian in scientific transliteration / romanization (the form that
+    # appears in an ASCII-normalized crawl), like zh's pinyin profile
+    "ru": ("ogo", "ego", " ne", "ne ", " na", "na ", " po", "pri", " pr",
+           "ost", "sti", "eni", "nie", "aja", "ija", "ja ", "sja", "shc",
+           "hch", "zhd", " za", "ych", "ykh", "yj ", "ij ", "uju", "ju ",
+           "ymi", "ami", " ko", "kot", "oto", "tor", "cht", "to "),
 }
 
 # reliability gate for the confidence column: a prediction is flagged

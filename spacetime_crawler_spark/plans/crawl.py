@@ -84,6 +84,10 @@ class RoundMetrics:
     bloom_skipped: int = 0
     urls_new: int = 0
     wall_s: float = 0.0
+    # per-phase wall breakdown (driver-observed): which parts of a round
+    # scale with cores (parallel work W) vs stay fixed (per-round cost F) —
+    # the diagnostic that drives the scaling-efficiency work
+    phase_s: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -91,6 +95,22 @@ class CrawlRun:
     io: object  # ParquetManifestIO | IcebergIO (same contract)
     metrics: list[RoundMetrics] = field(default_factory=list)
     rounds_run: int = 0
+
+
+def _obs_count(obs: Observation, default: int = 0) -> int:
+    """Read a count metric from an Observation whose node sits on a plan
+    BRANCH (not the root of the written query).  When the optimizer proves
+    a branch empty — statically (constant-foldable predicate) or at runtime
+    (AQE sees the branch's shuffle stage produce 0 rows) — it prunes the
+    subtree INCLUDING the CollectMetrics node, and `.get` after the action
+    raises instead of reporting 0.  Pruned ⟺ the branch had no rows, so
+    the default of 0 is the exact answer, not an approximation.  Root-level
+    observations (on the DataFrame actually written) are never pruned and
+    read `.get` directly."""
+    try:
+        return obs.get["n"] or 0
+    except Exception:
+        return default
 
 
 def _with_keys(df: DataFrame, url_col: str = "url_norm") -> DataFrame:
@@ -405,6 +425,7 @@ def run_crawl(
         )
         # both counts ride the write action as observed metrics (zero extra
         # jobs — no lineage recompute, no read-back)
+        t_ph = time.monotonic()
         obs_log = Observation()
         io.write("fetch_log", rnd, fetch_log.observe(
             obs_log,
@@ -412,6 +433,8 @@ def run_crawl(
             F.sum((F.col("status") == 200).cast("long")).alias("ok"),
         ))
         log_stats = obs_log.get
+        m.phase_s["fetch_extract_write"] = round(time.monotonic() - t_ph, 3)
+        t_ph = time.monotonic()
         m.urls_selected = log_stats["n"]
         m.urls_fetched_ok = log_stats["ok"] or 0
         m.urls_404 = m.urls_selected - m.urls_fetched_ok
@@ -453,14 +476,23 @@ def run_crawl(
                     candidates, bloom_prev, cfg.n_parts
                 ).persist()
             round_persists.append(flagged)
-            cstats = flagged.agg(
-                F.count("*").alias("n"),
-                F.sum(F.col("maybe_seen").cast("long")).alias("maybes"),
-            ).collect()[0]
-            m.candidates = cstats.n
-            m.bloom_skipped = m.candidates - (cstats.maybes or 0)
-            definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-            to_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+            # branch counts ride the frontier write as per-branch observed
+            # metrics (one observe node per branch — never above the shared
+            # flagged subtree, where the union would double-count): the old
+            # explicit cstats aggregate was a whole extra job per round.
+            # The two branches may race to populate the flagged cache within
+            # the write job; at worst some partitions compute the (cheap,
+            # vectorized) membership test twice — counts stay exact because
+            # each observe node sits on its own branch.
+            obs_def, obs_chk = Observation(), Observation()
+            definitely_new = (
+                flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+                .observe(obs_def, F.count(F.lit(1)).alias("n"))
+            )
+            to_check = (
+                flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+                .observe(obs_chk, F.count(F.lit(1)).alias("n"))
+            )
             checked_new = to_check.repartition(cfg.n_parts, "url_hash").join(
                 seen.repartition(cfg.n_parts, "url_hash"),
                 ["url_hash", "url_norm"],
@@ -501,16 +533,25 @@ def run_crawl(
         # reads that cache.  Row counts for the manifest ride both writes as
         # observed metrics — the old read-back count() and urls_new count()
         # jobs are gone.
+        m.phase_s["bloom_read_plan"] = round(time.monotonic() - t_ph, 3)
+        t_ph = time.monotonic()
         obs_front, obs_seen = Observation(), Observation()
         io.write("frontier", rnd,
                  next_frontier.observe(obs_front, F.count(F.lit(1)).alias("n")))
+        n_frontier = obs_front.get["n"]
+        if cfg.use_bloom:
+            m.bloom_skipped = _obs_count(obs_def)
+            m.candidates = m.bloom_skipped + _obs_count(obs_chk)
+        m.phase_s["frontier_write"] = round(time.monotonic() - t_ph, 3)
+        t_ph = time.monotonic()
         io.write("seen", rnd,
                  seen_delta.repartition(cfg.n_parts, "url_hash")
                  .observe(obs_seen, F.count(F.lit(1)).alias("n")))
-        n_frontier = obs_front.get["n"]
         m.urls_new = obs_seen.get["n"]
+        m.phase_s["seen_write"] = round(time.monotonic() - t_ph, 3)
+        t_ph = time.monotonic()
         if not cfg.use_bloom:
-            m.candidates = obs_cand.get["n"]
+            m.candidates = _obs_count(obs_cand)
         tables = {
             "frontier": n_frontier,
             "seen": m.urls_new,  # delta count; snapshot is full
@@ -526,6 +567,7 @@ def run_crawl(
                 ))
             ))
             tables["bloom"] = cfg.n_parts
+            m.phase_s["bloom_write"] = round(time.monotonic() - t_ph, 3)
         if cfg.seen_compact_every and rnd % cfg.seen_compact_every == 0:
             # compaction: one full snapshot so seen readers union ≤K+1 files
             # instead of O(rounds); committed atomically with the round

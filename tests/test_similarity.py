@@ -87,6 +87,8 @@ def test_langid_trigram_snippets_unseen_vocab(spark):
         (7, "quando chegamos não encontramos informação sobre a situação da cidade"),
         (8, "quando arrivammo nella città vedemmo una piazza meravigliosa con molte persone"),
         (9, "toen wij door het bos liepen zagen een mooie plek van de rivier"),
+        (10, "kogda my prishli v etot gorod my uvideli bolshuju ploshchad"
+             " kotoraja byla ukrashena starymi domami"),
     ]
     df = spark.createDataFrame(pdf, ["doc_id", "text"])
     got = {r.doc_id: (r.pred_lang, r.n_hits, r.margin, r.is_reliable)
@@ -100,11 +102,12 @@ def test_langid_trigram_snippets_unseen_vocab(spark):
     assert got[7][0] == "pt", got
     assert got[8][0] == "it", got
     assert got[9][0] == "nl", got
+    assert got[10][0] == "ru", got
     # confidence contract: zero-hit rows are never reliable; a clearly
     # in-language snippet has positive margin and passes the gate
     assert got[6][3] is False and got[6][2] == 0, got
     assert got[1][3] is True and got[1][2] >= 2, got
-    for d in (2, 3, 4, 5, 7, 8, 9):
+    for d in (2, 3, 4, 5, 7, 8, 9, 10):
         assert got[d][2] >= 1, (d, got[d])
 
 
