@@ -97,22 +97,14 @@ class CrawlRun:
     rounds_run: int = 0
 
 
-def _obs_count(obs: Observation, default: int = 0) -> int:
-    """Read a count metric from an Observation whose node sits on a plan
-    BRANCH (not the root of the written query).  When the optimizer proves
-    a branch empty — statically (constant-foldable predicate) or at runtime
-    (AQE sees the branch's shuffle stage produce 0 rows) — it prunes the
-    subtree INCLUDING the CollectMetrics node, and `.get` after the action
-    raises instead of reporting 0.  Pruned ⟺ the branch had no rows, so
-    the default of 0 is the exact answer, not an approximation.  Root-level
-    observations (on the DataFrame actually written) are never pruned and
-    read `.get` directly."""
-    try:
-        return obs.get["n"] or 0
-    except Exception:
-        return default
-
-
+# NB on Observation placement: every observation in this module sits at the
+# ROOT of a written query (directly on the DataFrame handed to io.write) —
+# that is the one placement AQE provably never disturbs.  Observations on
+# interior plan BRANCHES are unreliable: a branch the optimizer proves
+# empty is pruned together with its CollectMetrics node (get then raises),
+# and a branch that crosses AQE-replanned exchanges can silently lose its
+# metrics even when non-empty (measured: branch counts under a
+# repartition+anti-join undercounted by exactly the join-side rows).
 def _with_keys(df: DataFrame, url_col: str = "url_norm") -> DataFrame:
     """Attach the two JVM hashes every downstream stage keys on:
     url_hash = xxhash64 (64-bit working key), h2 = murmur3_x86_32
@@ -246,7 +238,13 @@ def fetch_join_round(
 def init_frontier(spark: SparkSession, seeds: list[str],
                   cfg: CrawlConfig) -> tuple[DataFrame, DataFrame]:
     """Seeds → (frontier, seen) at round 0 (admission-at-discovery, like the
-    reference's add_url)."""
+    reference's add_url).
+
+    The canonicalized seed set is materialized ONCE (eager localCheckpoint):
+    without it, the frontier and seen writes each re-ship the driver-side
+    seed list to executors and re-run the canonicalize UDF + distinct — at
+    100k+ seeds that doubles round-0's fixed cost for no reason, and on a
+    real cluster it doubles the driver→executor seed transfer."""
     seed_df = spark.createDataFrame([(s,) for s in seeds], "url string")
     canon = (
         seed_df.withColumn("url_norm", canonicalize_udf("url"))
@@ -256,11 +254,13 @@ def init_frontier(spark: SparkSession, seeds: list[str],
     )
     frontier = _with_keys(canon).withColumn(
         "host", F.lower(F.parse_url("url_norm", F.lit("HOST")))
-    ).withColumn("depth", F.lit(0))
+    ).withColumn("depth", F.lit(0)).select(*FRONTIER_COLS).localCheckpoint(
+        eager=True
+    )
     seen = frontier.select("url_norm", "url_hash", "h2").withColumn(
         "round_seen", F.lit(0)
     )
-    return frontier.select(*FRONTIER_COLS), seen
+    return frontier, seen
 
 
 def _bloom_state_matches(spark, io, rnd: int, cfg: CrawlConfig) -> bool:
@@ -476,23 +476,8 @@ def run_crawl(
                     candidates, bloom_prev, cfg.n_parts
                 ).persist()
             round_persists.append(flagged)
-            # branch counts ride the frontier write as per-branch observed
-            # metrics (one observe node per branch — never above the shared
-            # flagged subtree, where the union would double-count): the old
-            # explicit cstats aggregate was a whole extra job per round.
-            # The two branches may race to populate the flagged cache within
-            # the write job; at worst some partitions compute the (cheap,
-            # vectorized) membership test twice — counts stay exact because
-            # each observe node sits on its own branch.
-            obs_def, obs_chk = Observation(), Observation()
-            definitely_new = (
-                flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-                .observe(obs_def, F.count(F.lit(1)).alias("n"))
-            )
-            to_check = (
-                flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-                .observe(obs_chk, F.count(F.lit(1)).alias("n"))
-            )
+            definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            to_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
             checked_new = to_check.repartition(cfg.n_parts, "url_hash").join(
                 seen.repartition(cfg.n_parts, "url_hash"),
                 ["url_hash", "url_norm"],
@@ -500,12 +485,7 @@ def run_crawl(
             )
             new_urls = definitely_new.unionByName(checked_new)
         else:
-            # candidates has exactly one downstream consumer here, so its
-            # count can ride the frontier write as an observed metric
-            obs_cand = Observation()
-            candidates = candidates.observe(
-                obs_cand, F.count(F.lit(1)).alias("n")
-            )
+            m.candidates = candidates.count()
             new_urls = candidates.repartition(cfg.n_parts, "url_hash").join(
                 seen.repartition(cfg.n_parts, "url_hash"),
                 ["url_hash", "url_norm"],
@@ -540,8 +520,16 @@ def run_crawl(
                  next_frontier.observe(obs_front, F.count(F.lit(1)).alias("n")))
         n_frontier = obs_front.get["n"]
         if cfg.use_bloom:
-            m.bloom_skipped = _obs_count(obs_def)
-            m.candidates = m.bloom_skipped + _obs_count(obs_chk)
+            # the frontier write above just materialized the flagged cache,
+            # so this aggregate is a cache scan, not a recompute — a cheap
+            # stats job where the pre-round-3 version paid the full
+            # candidate-pipeline compute serially before the write
+            cstats = flagged.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("maybe_seen").cast("long")).alias("maybes"),
+            ).collect()[0]
+            m.candidates = cstats.n
+            m.bloom_skipped = m.candidates - (cstats.maybes or 0)
         m.phase_s["frontier_write"] = round(time.monotonic() - t_ph, 3)
         t_ph = time.monotonic()
         io.write("seen", rnd,
@@ -550,8 +538,6 @@ def run_crawl(
         m.urls_new = obs_seen.get["n"]
         m.phase_s["seen_write"] = round(time.monotonic() - t_ph, 3)
         t_ph = time.monotonic()
-        if not cfg.use_bloom:
-            m.candidates = _obs_count(obs_cand)
         tables = {
             "frontier": n_frontier,
             "seen": m.urls_new,  # delta count; snapshot is full

@@ -93,3 +93,35 @@ def test_statuses_and_depth_match(oracle_result, engine_result):
     engine = {r.url_norm: (r.status, r.depth) for r in fetch_log}
     oracle = {r.url_norm: (r.status, r.depth) for r in oracle_result.fetch_log}
     assert engine == oracle
+
+
+def test_candidates_metric_matches_oracle(tiny_world, oracle_result, engine_result):
+    """RoundMetrics.candidates (per-round distinct valid links after the
+    min-depth collapse, BEFORE the seen check) must match a recount from
+    the oracle's fetch log — this metric feeds bench throughput, and a
+    round-3 regression showed interior-branch observed metrics can silently
+    undercount it (crawl.py's Observation-placement note)."""
+    from spacetime_crawler_spark.functions.textextract import extract_links
+    from spacetime_crawler_spark.functions.urlnorm import is_valid
+
+    run, _, _ = engine_result
+    rows = {r["url"]: r for r in synth.driver_side_pages(tiny_world)}
+    by_canon = {}
+    for r in rows.values():
+        from spacetime_crawler_spark.functions.urlnorm import canonicalize_url
+        by_canon.setdefault(canonicalize_url(r["url"]), []).append(r)
+    per_round: dict[int, set] = {}
+    for rec in oracle_result.fetch_log:
+        if rec.status != 200:
+            continue
+        # latest capture wins; ties break to the lexicographically-first url
+        # (same as the engine's desc(warc_ts), asc(url) window)
+        caps = sorted(by_canon[rec.url_norm], key=lambda r: r["url"])
+        caps = sorted(caps, key=lambda r: r["warc_ts"], reverse=True)
+        links = [
+            u for u in extract_links(caps[0]["html"], rec.url_norm) if is_valid(u)
+        ]
+        per_round.setdefault(rec.round, set()).update(links)
+    want = [len(per_round.get(m.round, set())) for m in run.metrics]
+    got = [m.candidates for m in run.metrics]
+    assert got == want, (got, want)
