@@ -191,14 +191,16 @@ def ensure_world() -> tuple[str, list[str]]:
     for stale in os.listdir(cache_root):
         if stale.startswith("scs_bench_world_") and stale != world_name:
             shutil.rmtree(os.path.join(cache_root, stale), ignore_errors=True)
-    # also sweep pre-round-3 worlds cached directly in the global tempdir
-    # (skip the live world name in case cache_root IS the tempdir)
-    for stale in os.listdir(tempfile.gettempdir()):
-        if stale.startswith("scs_bench_world_") and stale != world_name:
-            shutil.rmtree(
-                os.path.join(tempfile.gettempdir(), stale), ignore_errors=True
-            )
+    # also sweep pre-round-3 worlds cached directly in the global tempdir —
+    # compare PATHS, not names: a same-named old-layout world at a different
+    # path is stale (keeping it would hold two ~23 GB copies and break the
+    # one-world disk bound), while the live dir must survive when cache_root
+    # IS the tempdir
     pages_dir = os.path.join(cache_root, world_name)
+    for stale in os.listdir(tempfile.gettempdir()):
+        stale_path = os.path.join(tempfile.gettempdir(), stale)
+        if stale.startswith("scs_bench_world_") and stale_path != pages_dir:
+            shutil.rmtree(stale_path, ignore_errors=True)
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
         spark = get_spark(master=f"local[{CPUS}]", app_name="bench-gen")
         synth.write_pages_parquet(spark, p, pages_dir)

@@ -319,9 +319,12 @@ def run_crawl(
         io.reset()
     if start_round == 0:
         frontier, seen = init_frontier(spark, seeds, cfg)
-        # row counts ride the write actions as observed metrics — a count is
-        # NEVER a separate Spark job anywhere in the loop (per-round driver
-        # job count is the fixed cost F that caps local scaling efficiency)
+        # row counts for written tables ride the write actions as observed
+        # metrics, never a read-back or lineage-recompute job (per-round
+        # driver job count is the fixed cost F that caps local scaling
+        # efficiency).  The two counts that can't be observations — the
+        # bloom-path candidate stats (cheap flagged-cache aggregate) and the
+        # non-bloom candidates.count() — are called out where they run.
         obs_f0, obs_s0 = Observation(), Observation()
         io.write("frontier", 0,
                  frontier.observe(obs_f0, F.count(F.lit(1)).alias("n")))
@@ -368,7 +371,8 @@ def run_crawl(
         round_persists: list[DataFrame] = []
         # the committed manifest already records last round's frontier row
         # count — an isEmpty() probe job here would be pure fixed cost
-        if io.manifest("frontier", rnd - 1)["rows"] == 0:
+        prev_frontier_rows = io.manifest("frontier", rnd - 1)["rows"]
+        if prev_frontier_rows == 0:
             break
         frontier = io.read(spark, "frontier", rnd - 1)
         seen = read_seen_up_to(spark, io, rnd - 1)
@@ -384,7 +388,7 @@ def run_crawl(
         # frontier row count, free from the manifest) avoids an extra job in
         # the common case; only when the frontier outgrows the gate do we pay
         # one count() on the (persisted) selected set for an exact decision.
-        sel_bound = io.manifest("frontier", rnd - 1)["rows"]
+        sel_bound = prev_frontier_rows
         if sel_bound > cfg.fetch_broadcast_max_rows:
             sel_bound = selected.count()
         broadcast_ok = sel_bound <= cfg.fetch_broadcast_max_rows

@@ -148,13 +148,18 @@ class ParquetManifestIO:
 # never collide with payload columns (fetch_log has its own `round`)
 STATE_ROUND_COL = "_state_round"
 
-# bucket modulus for url_hash-keyed state tables — matches CrawlConfig.n_parts
-# (the engine's pmod(url_hash, P) partitioning), so the bucketed table layout
-# and the in-flight repartitioning agree on placement
+# default bucket modulus for url_hash-keyed state tables — matches
+# CrawlConfig.n_parts's default.  The CALLER must keep these in sync: a run
+# with a non-default n_parts must construct its store with the same P
+# (SparkIcebergStore(..., n_buckets=cfg.n_parts)), otherwise the bucketed
+# table layout and the engine's pmod(url_hash, P) repartitioning disagree
+# and the storage-partitioned join the layout exists for never engages.
 ICEBERG_BUCKETS = 32
 
 
-def iceberg_layout(table: str, columns) -> tuple[tuple, ...]:
+def iceberg_layout(
+    table: str, columns, n_buckets: int = ICEBERG_BUCKETS
+) -> tuple[tuple, ...]:
     """Declarative partition spec per state table, shared by the real
     SparkIcebergStore DDL and the FakeStore contract assertions:
 
@@ -169,7 +174,7 @@ def iceberg_layout(table: str, columns) -> tuple[tuple, ...]:
     if STATE_ROUND_COL in columns:
         spec.append(("identity", STATE_ROUND_COL))
     if table in ("frontier", "seen", "seen_snapshot") and "url_hash" in columns:
-        spec.append(("bucket", ICEBERG_BUCKETS, "url_hash"))
+        spec.append(("bucket", n_buckets, "url_hash"))
     return tuple(spec)
 
 
@@ -293,9 +298,19 @@ class SparkIcebergStore:
     --conf spark.sql.catalog.cr=org.apache.iceberg.spark.SparkCatalog ...``
     then ``IcebergIO(SparkIcebergStore(spark, "cr", "crawl"))``."""
 
-    def __init__(self, spark: SparkSession, catalog: str, namespace: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: str,
+        namespace: str,
+        n_buckets: int = ICEBERG_BUCKETS,
+    ):
+        # n_buckets MUST equal the run's CrawlConfig.n_parts (see the
+        # ICEBERG_BUCKETS note) — it parameterizes the bucket(P, url_hash)
+        # DDL the engine's repartitioning relies on.
         self.spark = spark
         self.prefix = f"{catalog}.{namespace}"
+        self.n_buckets = n_buckets
 
     def _fq(self, name: str) -> str:
         return f"{self.prefix}.{name}"
@@ -315,7 +330,7 @@ class SparkIcebergStore:
 
         writer = df.writeTo(self._fq(name))
         cols = []
-        for spec in iceberg_layout(name, df.columns):
+        for spec in iceberg_layout(name, df.columns, self.n_buckets):
             if spec[0] == "identity":
                 cols.append(F.col(spec[1]))
             else:  # ("bucket", n, col) — Iceberg bucket transform DDL

@@ -118,9 +118,16 @@ def _make_sched_fn(round_budget_s: float, use_timeout: bool):
     merges new candidates into the backlog (min discovery depth per url —
     the F11 rule), emits the top quota = floor(budget / crawl_delay) in
     (depth, url_norm) priority order with fetch_seq 1..q and the virtual
-    due time, and keeps the rest as backlog state.  Differentially tested
-    round-for-round against the batch scheduler + leftover carry
-    (tests/test_streaming.py)."""
+    due time, and keeps the rest as backlog state.
+
+    Equivalence contract (differentially tested in tests/test_streaming.py):
+    the emission equals the batch scheduler + leftover carry round-for-round
+    PROVIDED each host is invoked each round — i.e. it receives input rows
+    in every trigger (the test's setup), or use_timeout=True arms the
+    politeness timer so a backlogged host drains without input.  In
+    NoTimeout mode a host with a backlog but no new input is not invoked
+    until its next input row — and sched_round is a PER-HOST invocation
+    counter, which then lags the global trigger index for that host."""
     import math
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
@@ -163,9 +170,13 @@ def _make_sched_fn(round_budget_s: float, use_timeout: bool):
             [pending[u][1] for u in urls],
             [pending[u][0] for u in urls],
         ))
-        if use_timeout and delay is not None:
-            # production mode: a backlogged host drains on its own politeness
-            # timer even when no new candidates arrive for it
+        if use_timeout and delay is not None and pending:
+            # production mode: a BACKLOGGED host drains on its own politeness
+            # timer even when no new candidates arrive for it.  Re-armed only
+            # while a backlog exists — otherwise every host ever seen would
+            # be re-invoked every crawl_delay forever (state-store churn
+            # proportional to all-hosts-ever, not active hosts); a drained
+            # host next wakes when new input arrives for it.
             state.setTimeoutDuration(int(delay * 1000))
         if out:
             yield pd.DataFrame(out, columns=_SCHED_COLS)

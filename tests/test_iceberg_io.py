@@ -153,6 +153,10 @@ def test_bucketed_table_layout_requested(spark, iio):
         ("identity", STATE_ROUND_COL),
         ("bucket", ICEBERG_BUCKETS, "url_hash"),
     )
+    # a non-default P flows into the bucket spec (must match CrawlConfig.n_parts)
+    assert iceberg_layout(
+        "seen", ["url_hash", STATE_ROUND_COL], n_buckets=64
+    ) == (("identity", STATE_ROUND_COL), ("bucket", 64, "url_hash"))
 
 
 def test_full_crawl_engine_parity_with_parquet_backend(spark, tmp_path):
