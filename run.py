@@ -84,7 +84,13 @@ def main() -> None:
         )
 
         catalog, namespace = args.iceberg.split(".", 1)
-        io = IcebergIO(SparkIcebergStore(spark, catalog, namespace))
+        # the bucket(P, url_hash) DDL modulus must equal the engine's
+        # pmod(url_hash, P) repartitioning — thread --parts through, or the
+        # storage-partitioned join the layout exists for never engages
+        # (run_crawl also validates this and fails loudly on mismatch)
+        io = IcebergIO(
+            SparkIcebergStore(spark, catalog, namespace, n_buckets=args.parts)
+        )
     t0 = time.monotonic()
     run = run_crawl(spark, pages, seeds, cfg, resume=args.resume, io=io)
     wall = time.monotonic() - t0

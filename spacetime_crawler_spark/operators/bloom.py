@@ -162,10 +162,15 @@ def flag_maybe_seen_cogrouped(
             # OR-ing bitmaps built under different nbits/nhashes would
             # compute bit positions against the wrong modulus — a silent
             # bloom FALSE NEGATIVE that re-admits seen URLs.  A mixed
-            # sidecar is a caller bug; fail loudly.
-            assert (bloom_pdf["nbits"] == nbits).all() and (
-                bloom_pdf["nhashes"] == k
-            ).all(), "mixed bloom geometry within one part_id group"
+            # sidecar is a caller bug; fail loudly — ValueError, not
+            # assert, so the check survives `python -O`.
+            if not (
+                (bloom_pdf["nbits"] == nbits).all()
+                and (bloom_pdf["nhashes"] == k).all()
+            ):
+                raise ValueError(
+                    "mixed bloom geometry within one part_id group"
+                )
             bits = np.zeros(nbits // 8, dtype=np.uint8)
             for b in bloom_pdf["bits"]:
                 bits |= np.frombuffer(b, dtype=np.uint8)

@@ -296,6 +296,18 @@ def run_crawl(
     ParquetManifestIO by default, IcebergIO on a real cluster (both in
     sources/io_tables.py)."""
     io = io if io is not None else ParquetManifestIO(cfg.state_dir)
+    # bucketed-store wiring check: a store whose bucket(P, url_hash) DDL
+    # modulus differs from cfg.n_parts would silently create a layout the
+    # engine's pmod(url_hash, P) repartitioning can never storage-co-join
+    # with — fail loudly instead of quietly reintroducing the exchange.
+    store_buckets = getattr(getattr(io, "store", None), "n_buckets", None)
+    if store_buckets is not None and store_buckets != cfg.n_parts:
+        raise ValueError(
+            f"store n_buckets={store_buckets} != CrawlConfig.n_parts="
+            f"{cfg.n_parts}: bucket(P, url_hash) layout would mismatch the"
+            " engine's repartitioning (construct the store with"
+            " n_buckets=cfg.n_parts)"
+        )
     run = CrawlRun(io=io)
 
     page_keys = prepare_page_keys(spark, pages).persist()  # narrow, no html

@@ -151,18 +151,23 @@ def _make_sched_fn(round_budget_s: float, use_timeout: bool):
                     pending[u] = (d, h)
         rounds += 1
         out = []
-        if delay is not None and pending:
+        # quota discipline ≡ batch schedule_round: floor(budget / delay),
+        # with delay <= 0 treated as quota 0 (the batch SQL path NULLs the
+        # division and drops the host; crashing here would be a
+        # crash-vs-drop divergence in the equivalence contract)
+        quota = 0
+        if delay is not None and delay > 0:
             quota = int(math.floor(round_budget_s / delay))
-            if quota >= 1:
-                # priority order — identical to the batch window/pandas sort
-                ordered = sorted(
-                    pending.items(), key=lambda kv: (kv[1][0], kv[0])
+        if quota >= 1 and pending:
+            # priority order — identical to the batch window/pandas sort
+            ordered = sorted(
+                pending.items(), key=lambda kv: (kv[1][0], kv[0])
+            )
+            for seq, (u, (d, h)) in enumerate(ordered[:quota], start=1):
+                out.append(
+                    (host, u, h, d, delay, rounds, seq, delay * seq)
                 )
-                for seq, (u, (d, h)) in enumerate(ordered[:quota], start=1):
-                    out.append(
-                        (host, u, h, d, delay, rounds, seq, delay * seq)
-                    )
-                    del pending[u]
+                del pending[u]
         urls = list(pending)
         state.update((
             rounds, delay,
@@ -170,12 +175,14 @@ def _make_sched_fn(round_budget_s: float, use_timeout: bool):
             [pending[u][1] for u in urls],
             [pending[u][0] for u in urls],
         ))
-        if use_timeout and delay is not None and pending:
+        if use_timeout and quota >= 1 and pending:
             # production mode: a BACKLOGGED host drains on its own politeness
             # timer even when no new candidates arrive for it.  Re-armed only
-            # while a backlog exists — otherwise every host ever seen would
-            # be re-invoked every crawl_delay forever (state-store churn
-            # proportional to all-hosts-ever, not active hosts); a drained
+            # while a backlog exists AND the host can actually emit
+            # (quota >= 1) — otherwise every host ever seen (or a quota-0
+            # host that can never drain) would be re-invoked every
+            # crawl_delay forever: state-store churn proportional to
+            # all-hosts-ever, not active hosts.  A drained or unschedulable
             # host next wakes when new input arrives for it.
             state.setTimeoutDuration(int(delay * 1000))
         if out:

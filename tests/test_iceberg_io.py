@@ -24,14 +24,21 @@ class FakeStore:
     partition spec SparkIcebergStore._create would issue as DDL, so the
     contract tests can assert the requested layout without Iceberg jars."""
 
-    def __init__(self, spark):
+    def __init__(self, spark, n_buckets=None):
+        from spacetime_crawler_spark.sources.io_tables import ICEBERG_BUCKETS
+
         self.spark = spark
         self.tables: dict = {}
         self.layouts: dict = {}
+        # mirror SparkIcebergStore's constructor contract so the engine's
+        # n_buckets ≡ n_parts wiring check is exercised against this fake
+        self.n_buckets = ICEBERG_BUCKETS if n_buckets is None else n_buckets
 
     def _put(self, name, df):
         if name not in self.tables:
-            self.layouts[name] = iceberg_layout(name, df.columns)
+            self.layouts[name] = iceberg_layout(
+                name, df.columns, self.n_buckets
+            )
         self.tables[name] = df.localCheckpoint(eager=True)
 
     def append_rows(self, name, rows, schema):
@@ -192,3 +199,64 @@ def test_full_crawl_engine_parity_with_parquet_backend(spark, tmp_path):
     assert run_ib.rounds_run == run_pq.rounds_run
     assert state(run_ib) == state(run_pq)
     pages.unpersist()
+
+
+def test_bucket_wiring_mismatch_raises(spark, tmp_path):
+    """A store whose bucket(P, url_hash) modulus differs from
+    CrawlConfig.n_parts must fail loudly at run_crawl start — the silent
+    alternative is a layout the engine's pmod(url_hash, P) repartitioning
+    can never storage-co-join with (the io_tables.py ICEBERG_BUCKETS
+    contract, formerly comment-only)."""
+    from spacetime_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "mm"), rounds=1, round_budget_s=4.0,
+        n_parts=16,
+    )
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_crawl(
+            spark, spark.range(0).selectExpr("'u' as url"), ["http://a.com/"],
+            cfg, io=IcebergIO(FakeStore(spark)),  # default 32-bucket store
+        )
+
+
+def test_run_py_threads_parts_into_store(spark, monkeypatch, tmp_path):
+    """run.py --iceberg --parts P constructs the store with n_buckets=P
+    (the round-3 latent bug: a default-bucket store silently mismatched a
+    non-default --parts)."""
+    import sys
+
+    import run as run_mod
+    from spacetime_crawler_spark.plans import crawl as crawl_mod
+    from spacetime_crawler_spark.sources import io_tables
+
+    captured = {}
+
+    class RecordingStore(FakeStore):
+        def __init__(self, spark_, catalog, namespace, n_buckets=None):
+            super().__init__(spark_, n_buckets=n_buckets)
+            captured["n_buckets"] = self.n_buckets
+
+    class DummyRun:
+        rounds_run = 0
+        metrics = []
+
+    def fake_run_crawl(spark_, pages, seeds, cfg, resume=False, io=None):
+        captured["n_parts"] = cfg.n_parts
+        captured["io"] = io
+        return DummyRun()
+
+    monkeypatch.setattr(io_tables, "SparkIcebergStore", RecordingStore)
+    monkeypatch.setattr(crawl_mod, "run_crawl", fake_run_crawl)
+    monkeypatch.setattr(sys, "argv", [
+        "run.py", "--synth", "tiny", "--rounds", "1",
+        "--state-dir", str(tmp_path / "st"), "--parts", "16",
+        "--iceberg", "cat.ns",
+    ])
+    # get_spark reuses the session fixture's active session; stop() on the
+    # shared session would kill the fixture — neuter it for this test
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    run_mod.main()
+    assert captured["n_buckets"] == 16
+    assert captured["n_parts"] == 16
+    assert captured["io"].store.n_buckets == 16

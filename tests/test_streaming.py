@@ -210,3 +210,57 @@ def test_streaming_politeness_matches_batch_scheduler(spark, tmp_path):
     # quota-0 host must never be scheduled by either path
     assert not any(h == "h3.com" for h, *_ in
                    [t for ts in stream_by_round.values() for t in ts])
+
+
+def test_sched_kernel_zero_delay_drops_host_and_never_rearms():
+    """crawl_delay <= 0 (or quota 0) must match the batch path — host
+    silently dropped, no ZeroDivisionError — and must NOT re-arm the
+    politeness timer: an unschedulable host can never emit, so a re-armed
+    timer would re-invoke it every crawl_delay forever (state-store churn
+    with zero progress)."""
+    import pandas as pd
+
+    from spacetime_crawler_spark.streaming import frontier_stream as fs
+
+    class FakeState:
+        exists = False
+
+        def __init__(self):
+            self.timeouts = []
+            self.stored = None
+
+        def update(self, v):
+            self.stored = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeouts.append(ms)
+
+    def batch_of(delay):
+        return iter([pd.DataFrame({
+            "host": ["h.com"] * 2,
+            "url_norm": ["http://h.com/a", "http://h.com/b"],
+            "url_hash": [1, 2],
+            "depth": [0, 1],
+            "crawl_delay": [delay, delay],
+        })])
+
+    for delay in (0.0, -1.0):
+        st = FakeState()
+        fn = fs._make_sched_fn(4.0, use_timeout=True)
+        out = list(fn(("h.com",), batch_of(delay), st))
+        assert out == []          # dropped, like the batch NULL-quota path
+        assert st.timeouts == []  # quota-0 host must not churn the timer
+        assert len(st.stored[2]) == 2  # backlog retained in state
+
+    # quota 0 from a POSITIVE delay (delay > budget) — same contract
+    st = FakeState()
+    fn = fs._make_sched_fn(4.0, use_timeout=True)
+    out = list(fn(("h.com",), batch_of(9.0), st))
+    assert out == [] and st.timeouts == []
+
+    # sanity: a schedulable host DOES emit and re-arms while backlogged
+    st = FakeState()
+    fn = fs._make_sched_fn(4.0, use_timeout=True)
+    out = list(fn(("h.com",), batch_of(4.0), st))
+    assert len(out) == 1 and len(out[0]) == 1  # quota 1 → one emission
+    assert st.timeouts == [4000]               # backlog of 1 → re-armed
