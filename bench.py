@@ -64,7 +64,25 @@ HEADLINE = [
 ]
 
 
-def bench_queries() -> tuple[dict[str, float], float]:
+def _stop_drained(spark, timeout_s: float = 10.0) -> None:
+    """spark.stop() with in-flight tasks still completing races the Python
+    accumulator server's shutdown: each straggler completion (early-exit
+    limit/take jobs leave canceled tasks finishing after the result
+    returns) makes DAGScheduler.updateAccumulators log a benign
+    `PythonAccumulatorV2 ... EOF reached before Python server acknowledged`
+    ERROR stack — the noise in the r2/r3 bench tails.  Drain active jobs
+    (bounded wait) before stopping so the artifact stderr stays clean; the
+    accumulators in question carry no bench data (all gates are Spark-side
+    digests read before this point)."""
+    st = spark.sparkContext.statusTracker()
+    deadline = time.monotonic() + timeout_s
+    while st.getActiveJobsIds() and time.monotonic() < deadline:
+        time.sleep(0.05)
+    time.sleep(0.3)  # let the scheduler's completion events finish merging
+    spark.stop()
+
+
+def bench_queries() -> tuple[dict[str, float], dict[str, list[float]], float]:
     from spacetime_crawler_spark.plans.registry import SPARK_QUERIES
     from spacetime_crawler_spark.session import get_spark
 
@@ -73,18 +91,26 @@ def bench_queries() -> tuple[dict[str, float], float]:
     # to the first timed query
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
     SPARK_QUERIES["a2_subdomain_histogram"](spark, SF_DIR).count()
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = SPARK_QUERIES[name]
-        t0 = time.monotonic()
-        n = fn(spark, SF_DIR).count()  # full execution; count forces the plan
-        dt = time.monotonic() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
-    spark.stop()
-    return timings, total
+    # min-of-2 trials per query, mirroring the crawl side's protocol: this
+    # sandbox shows up to 4× external interference between identical runs
+    # (BASELINE.md variance note), and the r3 artifact's uniform ~23% drift
+    # across ten unrelated plans was unprovable under single-shot timing.
+    # Trials run as two full passes over the suite (not back-to-back per
+    # query) so one interference burst can't inflate both samples of the
+    # same query.
+    trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for t in range(2):
+        for name in HEADLINE:
+            fn = SPARK_QUERIES[name]
+            t0 = time.monotonic()
+            n = fn(spark, SF_DIR).count()  # full exec; count forces the plan
+            dt = time.monotonic() - t0
+            trials[name].append(round(dt, 3))
+            print(f"# [{t+1}] {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+    _stop_drained(spark)
+    timings = {name: min(ts) for name, ts in trials.items()}
+    total = sum(timings.values())
+    return timings, trials, total
 
 
 def state_digest(df, cols: list[str]) -> tuple:
@@ -133,7 +159,7 @@ def _crawl_once(master: str, pages_dir: str, seeds: list[str], state_dir: str):
         crawl_mod.read_fetch_log(spark, run.io, run.rounds_run),
         ["round", "host", "fetch_seq", "url_norm", "text_sha256"],
     )
-    spark.stop()
+    _stop_drained(spark)
     return {
         "wall_s": wall,
         "urls_fetched": fetched,
@@ -168,12 +194,14 @@ def ensure_world() -> tuple[str, list[str]]:
     # key fingerprints the GENERATOR (sample page/robots rows + world
     # params), so any change to synth page/URL/link generation invalidates
     # the cache instead of silently benchmarking a stale world against
-    # freshly-computed seeds.  The cache lives under ONE env-overridable
-    # directory and every world whose name doesn't match the current tag is
-    # EVICTED before generating — disk held is bounded at one world, not
-    # one per (size, generator) ever benchmarked.
+    # freshly-computed seeds.  Concurrency/crash discipline (the round-3
+    # advice): the sweep is scoped to cache_root ONLY; stale worlds are
+    # evicted AFTER the new world's _SUCCESS exists (an ENOSPC mid-
+    # generation leaves the previous working world intact, not zero
+    # worlds); each reader holds a shared flock on <world>.lock for the
+    # process lifetime, and eviction needs a non-blocking exclusive flock —
+    # a world being read by a concurrent bench is skipped, never deleted.
     import hashlib
-    import shutil
     import tempfile
 
     sample = repr((
@@ -188,24 +216,68 @@ def ensure_world() -> tuple[str, list[str]]:
     )
     os.makedirs(cache_root, exist_ok=True)
     world_name = f"scs_bench_world_{CRAWL_PAGES}_{tag}"
-    for stale in os.listdir(cache_root):
-        if stale.startswith("scs_bench_world_") and stale != world_name:
-            shutil.rmtree(os.path.join(cache_root, stale), ignore_errors=True)
-    # also sweep pre-round-3 worlds cached directly in the global tempdir —
-    # compare PATHS, not names: a same-named old-layout world at a different
-    # path is stale (keeping it would hold two ~23 GB copies and break the
-    # one-world disk bound), while the live dir must survive when cache_root
-    # IS the tempdir
     pages_dir = os.path.join(cache_root, world_name)
-    for stale in os.listdir(tempfile.gettempdir()):
-        stale_path = os.path.join(tempfile.gettempdir(), stale)
-        if stale.startswith("scs_bench_world_") and stale_path != pages_dir:
-            shutil.rmtree(stale_path, ignore_errors=True)
+    # shared reader lock FIRST — once held, no concurrent eviction can take
+    # the exclusive lock, so the _SUCCESS check below can't race a delete
+    _hold_reader_lock(pages_dir + ".lock")
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
-        spark = get_spark(master=f"local[{CPUS}]", app_name="bench-gen")
-        synth.write_pages_parquet(spark, p, pages_dir)
-        spark.stop()
+        # generation serialized across processes; mode("overwrite") inside
+        # write_pages_parquet clears any partial previous attempt
+        with _locked(os.path.join(cache_root, ".gen.lock")):
+            if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+                spark = get_spark(master=f"local[{CPUS}]", app_name="bench-gen")
+                synth.write_pages_parquet(spark, p, pages_dir)
+                _stop_drained(spark)
+    _evict_stale_worlds(cache_root, world_name)
     return pages_dir, seeds
+
+
+_READER_LOCKS: list = []  # keep shared-lock fds open for the process lifetime
+
+
+def _locked(path: str):
+    """Exclusive-flock context manager (blocking)."""
+    import contextlib
+    import fcntl
+
+    @contextlib.contextmanager
+    def cm():
+        with open(path, "a") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            yield
+    return cm()
+
+
+def _hold_reader_lock(lock_path: str) -> None:
+    import fcntl
+
+    f = open(lock_path, "a")
+    fcntl.flock(f, fcntl.LOCK_SH)
+    _READER_LOCKS.append(f)  # released only at process exit
+
+
+def _evict_stale_worlds(cache_root: str, keep_name: str) -> None:
+    """Bound the cache at one world: remove every scs_bench_world_* dir in
+    cache_root except keep_name — but only if its reader lock can be taken
+    exclusively right now (no concurrent bench is reading it)."""
+    import fcntl
+    import shutil
+
+    for stale in os.listdir(cache_root):
+        if (
+            not stale.startswith("scs_bench_world_")
+            or stale.endswith(".lock")
+            or stale == keep_name
+        ):
+            continue
+        stale_path = os.path.join(cache_root, stale)
+        try:
+            with open(stale_path + ".lock", "a") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                shutil.rmtree(stale_path, ignore_errors=True)
+                os.unlink(stale_path + ".lock")
+        except OSError:
+            continue  # held by a live reader (or fs race) — leave it
 
 
 def bench_crawl(tmp_root: str) -> dict:
@@ -253,15 +325,17 @@ def bench_crawl(tmp_root: str) -> dict:
         return (s["wall_s"] / b["wall_s"]) / ratio if b["wall_s"] else 0.0
 
     small, big = best(smalls), best(bigs)
-    # one extra slot on whichever side min-of-2 still leaves implausible
-    # (sub-0.8 → big side suspect; supra-linear → small side suspect)
+    # if min-of-2 is still implausible, retrial SYMMETRICALLY — one extra
+    # trial on BOTH sides.  A one-sided retry (big-only when eff < 0.8)
+    # could only move the gated number toward the plausible band, a
+    # residual bias toward the ≥0.8 criterion; an extra sample per side is
+    # direction-neutral, and every per-trial wall is recorded in the
+    # artifact below so the gate decision is auditable either way.
     cur = eff(small, big)
-    if cur < 0.8:
-        bigs.append(run_big(3))
-        big = best(bigs)
-    elif cur > 1.05:
+    if cur < 0.8 or cur > 1.05:
         smalls.append(run_small(3))
-        small = best(smalls)
+        bigs.append(run_big(3))
+        small, big = best(smalls), best(bigs)
 
     states = [t["state"] for t in smalls + bigs]
     identical = all(s == states[0] for s in states[1:])
@@ -290,17 +364,29 @@ def bench_crawl(tmp_root: str) -> dict:
         "steady_state_wall_small": round(small["last_round_wall_s"], 2),
         "steady_state_wall_big": round(big["last_round_wall_s"], 2),
         "steady_state_efficiency": round(ss_eff, 3),
+        # full per-trial audit trail: the gated efficiencies above are
+        # recomputable from these raw walls, so the min-of-trials decision
+        # is verifiable from the artifact alone
+        "trial_walls_small": [round(t["wall_s"], 2) for t in smalls],
+        "trial_walls_big": [round(t["wall_s"], 2) for t in bigs],
+        "trial_steady_walls_small": [
+            round(t["last_round_wall_s"], 2) for t in smalls
+        ],
+        "trial_steady_walls_big": [
+            round(t["last_round_wall_s"], 2) for t in bigs
+        ],
     }
     return out
 
 
 def main() -> None:
-    timings, total = bench_queries()
+    timings, trials, total = bench_queries()
     result = {
         "metric": "headline operator suite + crawl URLs fetched+deduped/sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "query_trials": trials,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }
     if not os.environ.get("SPARK_GRAFT_SKIP_CRAWL_BENCH"):

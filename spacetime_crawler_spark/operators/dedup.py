@@ -39,10 +39,9 @@ _DEDUP_DOC_LIMIT = 1000  # bound the all-pairs verify at bench scale
 # in MinHash pipelines, e.g. spark.ml MinHashLSH users bound bucket sizes).
 SHINGLE_DF_CAP = 100  # max docs a shingle may appear in and still seed pairs
 LSH_BUCKET_CAP = 50  # max docs per (band, bucket) joined all-pairs
-# hot-shingle sets up to this many rows ride a broadcast for the cold/hot
-# index split; past it (pathological boilerplate corpora) fall back to a
-# shuffled join and let AQE choose the strategy
-_HOT_BROADCAST_MAX = 1_000_000
+# (the former _HOT_BROADCAST_MAX gate is gone: AQE picks broadcast vs
+# shuffled for the cold/hot index split from runtime stats, so the split
+# needs no driver-side sizing job)
 
 # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — short docs
 # must be guarded explicitly (DuckDB's generate_series(1, 0) is []).
@@ -182,26 +181,18 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > shingle_df_cap)
         .select("s")
-        .persist()
     )
-    if cleanup is not None:
-        cleanup.append(hot)
-    # honest-corpus fast path: no hot shingles at all → cold counts ARE the
-    # exact full-set counts and the split joins vanish; the count also
-    # size-gates the split strategy (hot is bounded by |corpus|/cap, tiny by
-    # construction, so the anti/semi joins are BROADCAST — the full index is
-    # never shuffled just to split it; past the gate AQE picks the join)
-    n_hot = hot.count()
-    has_hot = n_hot > 0
-    if not has_hot:
-        idx = exploded
-        hot_idx = None
-    elif n_hot <= _HOT_BROADCAST_MAX:
-        idx = exploded.join(F.broadcast(hot), "s", "left_anti")
-        hot_idx = exploded.join(F.broadcast(hot), "s", "left_semi")
-    else:  # pathological corpus: millions of distinct hot shingles
-        idx = exploded.join(hot, "s", "left_anti")
-        hot_idx = exploded.join(hot, "s", "left_semi")
+    # ONE declarative plan, no driver-side `hot.count()` branch: the old
+    # design ran a full explode+aggregate job up front just to decide (a)
+    # broadcast vs shuffled split and (b) whether to include the hot-
+    # correction joins at all — both decisions AQE makes from runtime stats
+    # (hot is bounded by |corpus|/cap so it broadcasts; an EMPTY hot
+    # propagates through AQE's empty-relation rule and the correction
+    # joins collapse to nothing).  The identical hot subplan on the anti
+    # and semi sides shares one exchange via ReuseExchange, so the df
+    # aggregation runs once, inside the same job as everything else.
+    idx = exploded.join(hot, "s", "left_anti")
+    hot_idx = exploded.join(hot, "s", "left_semi")
     a = idx.alias("a")
     b = idx.alias("b")
     cold = (
@@ -209,23 +200,20 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("common_cold"))
     )
-    if has_hot:
-        # hot-overlap correction, only for candidate pairs, keyed on doc ids
-        ha = hot_idx.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("hs"))
-        hb = hot_idx.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("hs"))
-        hot_common = (
-            cold.select("doc_a", "doc_b")
-            .join(ha, "doc_a")
-            .join(hb, ["doc_b", "hs"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("common_hot"))
-        )
-        pairs = cold.join(hot_common, ["doc_a", "doc_b"], "left").withColumn(
-            "common",
-            F.col("common_cold") + F.coalesce(F.col("common_hot"), F.lit(0)),
-        )
-    else:
-        pairs = cold.withColumn("common", F.col("common_cold"))
+    # hot-overlap correction, only for candidate pairs, keyed on doc ids
+    ha = hot_idx.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("hs"))
+    hb = hot_idx.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("hs"))
+    hot_common = (
+        cold.select("doc_a", "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, ["doc_b", "hs"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common_hot"))
+    )
+    pairs = cold.join(hot_common, ["doc_a", "doc_b"], "left").withColumn(
+        "common",
+        F.col("common_cold") + F.coalesce(F.col("common_hot"), F.lit(0)),
+    )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (

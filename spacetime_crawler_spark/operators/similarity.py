@@ -122,11 +122,19 @@ def sim_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_table_buckets(emb, "embedding").select("vec_id", "table", "bucket")
 
 
-def _query_buckets(query_vec: list[float]) -> list[tuple[int, int]]:
+def _query_buckets(
+    query_vec: list[float], hamming: int = 0
+) -> list[tuple[int, int]]:
     """The query's (table, bucket) pairs, computed driver-side with EXACTLY
     the same arithmetic as the SQL bucket expressions (same pinned plane
     literals, same left-to-right double accumulation, same `> 0` sign rule)
-    so the probe lands in precisely the partitions the build side wrote."""
+    so the probe lands in precisely the partitions the build side wrote.
+
+    hamming=1 is MULTI-PROBE: each table also probes the k buckets whose
+    sign vector differs in one bit — the near-boundary buckets a borderline
+    dot product could have landed in.  Recall rises without adding tables
+    (index size unchanged); probe cost goes from L to L·(k+1) partitions,
+    still a pruned scan, never a full index read."""
     planes = _hyperplanes()
     pairs = []
     for t in range(LSH_TABLES):
@@ -138,6 +146,9 @@ def _query_buckets(query_vec: list[float]) -> list[tuple[int, int]]:
             if acc > 0:
                 bucket |= 1 << b
         pairs.append((t, bucket))
+        if hamming >= 1:
+            for b in range(LSH_BITS_PER_TABLE):
+                pairs.append((t, bucket ^ (1 << b)))
     return pairs
 
 
@@ -159,6 +170,7 @@ def probe_ann_index(
     query_vec: list[float],
     exclude_vec_id: int | None = None,
     k: int = TOP_K,
+    hamming: int = 0,
 ) -> DataFrame:
     """Top-k probe against a materialized index: the query's L (table,
     bucket) pairs become a partition-column filter, so the parquet scan
@@ -166,7 +178,7 @@ def probe_ann_index(
     tests/test_similarity.py); candidates are deduped and exactly reranked.
     At 10^10 scale this is the difference between touching ~L·(N/(L·2^k))
     rows and a full-index scan per query."""
-    pairs = _query_buckets(query_vec)
+    pairs = _query_buckets(query_vec, hamming=hamming)
     idx = spark.read.parquet(index_dir)
     cond = F.lit(False)
     for t, bu in pairs:
@@ -220,17 +232,43 @@ def sim_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN (Hamming-1): same L tables, same index, ~(k+1)×
+    the probed buckets → recall ≥ the single-probe path at equal table
+    count (pinned in tests/test_similarity.py).  Registry-facing wrapper
+    over sim_ann_lsh(hamming=1)."""
+    return sim_ann_lsh(spark, sf_dir, hamming=1)
+
+
+def sim_ann_lsh(
+    spark: SparkSession, sf_dir: str, hamming: int = 0
+) -> DataFrame:
     """ANN top-k for the pinned query: candidates = vectors sharing ANY
     (table, bucket) with the query — a keyed semi-join, never a full scan —
-    then exact cosine rerank of candidates only.  Driver check is rows-only
-    (ANN is approximate by construction); tests/test_similarity.py measures
-    recall vs sim_topk_bruteforce."""
+    then exact cosine rerank of candidates only.  hamming=1 multi-probes
+    each table's Hamming-1 neighbor buckets too (see _query_buckets), the
+    probe-side expansion staying fully declarative: the 1-row query bucket
+    set explodes to (k+1) rows per table BEFORE the broadcast semi-join, so
+    the join shape is unchanged.  Driver check is rows-only (ANN is
+    approximate by construction); tests/test_similarity.py measures recall
+    vs sim_topk_bruteforce."""
     emb = load_table(spark, sf_dir, "embeddings")
     buckets = _with_table_buckets(emb, "embedding")
     qrow = buckets.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         "table", "bucket"
     )
+    if hamming >= 1:
+        flips = F.array(
+            F.lit(0), *[F.lit(1 << b) for b in range(LSH_BITS_PER_TABLE)]
+        )
+        qrow = (
+            qrow.select("table", F.explode(flips).alias("flip"), "bucket")
+            .select(
+                "table",
+                F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket"),
+            )
+            .distinct()
+        )
     candidates = (
         buckets.filter(F.col("vec_id") != _QUERY_VEC_ID)
         .join(F.broadcast(qrow), ["table", "bucket"], "left_semi")

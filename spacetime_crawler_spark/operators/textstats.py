@@ -170,12 +170,17 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
            "een", " ee", "n d", " ge", "ijk", "ij ", "aar", "oor", " vo",
            "voo", "der", " da", "dat", "at ", "ver", "cht", "ing", "ng ",
            " ni", "nie", "iet", " op", "op ", " zi", "ijn", "jn "),
-    # Russian in scientific transliteration / romanization (the form that
-    # appears in an ASCII-normalized crawl), like zh's pinyin profile
+    # Russian: scientific-transliteration trigrams (ASCII-normalized crawls)
+    # PLUS native UTF-8 Cyrillic trigrams — one profile, both scripts, so
+    # the same exact-match scorer fires on either form of the language
     "ru": ("ogo", "ego", " ne", "ne ", " na", "na ", " po", "pri", " pr",
            "ost", "sti", "eni", "nie", "aja", "ija", "ja ", "sja", "shc",
            "hch", "zhd", " za", "ych", "ykh", "yj ", "ij ", "uju", "ju ",
-           "ymi", "ami", " ko", "kot", "oto", "tor", "cht", "to "),
+           "ymi", "ami", " ko", "kot", "oto", "tor", "cht", "to ",
+           " не", "не ", " на", "на ", "ого", "его", " по", "при", " пр",
+           "ост", "сти", "ени", "ние", "ать", "ть ", "тьс", "ься", " чт",
+           "что", "то ", "ый ", "ий ", "ой ", "ами", " за", "ств", " ко",
+           "кот", "ото", "тор", "ет ", "ова", "ая ", "ли "),
 }
 
 # reliability gate for the confidence column: a prediction is flagged
@@ -185,6 +190,27 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
 # within noise of each other — e.g. pt vs es on short Romance snippets)
 _RELIABLE_MIN_HITS = 3
 _RELIABLE_MIN_MARGIN = 2
+
+# Native-script CJK layer: exact trigram matching cannot work on unsegmented
+# CJK text (a function character like 的 appears inside arbitrary 3-char
+# windows, so no pinned trigram list fires reliably), and real langid
+# systems decide SCRIPT first (CLD/fastText style).  Characters per Unicode
+# block are counted over the same normalized prefix; a script call needs
+# both an absolute floor (a Latin doc quoting one Chinese word must not
+# flip) and a fraction of the prefix.  Precedence within CJK is pinned:
+# Hangul → ko; kana → ja (kana is uniquely Japanese and Japanese prose
+# always carries it, which is what separates ja from Han-only zh); Han → zh.
+# Cyrillic needs no script override — the ru profile carries native
+# trigrams, so the ordinary scorer handles it (and stays extensible to
+# uk/bg by adding profiles rather than a script rule).
+_SCRIPT_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    # (script key, predicted lang, character-class regex); precedence order
+    ("hangul", "ko", "[\\uac00-\\ud7af]"),
+    ("kana", "ja", "[\\u3040-\\u30ff]"),
+    ("han", "zh", "[\\u4e00-\\u9fff]"),
+)
+_SCRIPT_MIN_CHARS = 10      # absolute floor within the prefix
+_SCRIPT_MIN_FRACTION = 0.1  # of non-space prefix characters
 
 # first 1000 chars are ample signal; bounds per-row HOF cost on huge docs
 _LANGID_PREFIX = 1000
@@ -207,22 +233,37 @@ _LANGID_TRIGRAMS_FROM_NT = """
 
 def langid_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, text) → (doc_id, pred_lang, n_hits, margin, is_reliable):
-    occurrence count of each language profile's trigrams over the normalized
-    text prefix, argmax with a pinned tie-break (profile dict order), 'und'
-    on zero hits everywhere.  margin = winner hits − runner-up hits;
-    is_reliable gates on both absolute signal and margin so curation filters
-    can threshold confidence instead of trusting every argmax.  Pure column
-    expressions — map-only, fully codegen'd."""
-    scored = docs.select(
-        "doc_id", F.expr(_LANGID_NORM).alias("nt")
-    ).select("doc_id", F.expr(_LANGID_TRIGRAMS_FROM_NT).alias("tg"))
+    script-count layer first (native CJK — see _SCRIPT_PATTERNS), then
+    occurrence count of each language profile's trigrams over the
+    normalized text prefix, argmax with a pinned tie-break (profile dict
+    order), 'und' on zero hits everywhere.  For trigram calls margin =
+    winner hits − runner-up hits; for script calls n_hits = chars of the
+    winning script and margin = that count − the strongest competing signal
+    (other scripts or best trigram score), so one is_reliable contract —
+    enough absolute signal AND clear of the runner-up — covers both layers.
+    Pure column expressions — map-only, fully codegen'd."""
+    normed = docs.select("doc_id", F.expr(_LANGID_NORM).alias("nt"))
+    script_counts = [
+        (F.length("nt") - F.length(F.regexp_replace(F.col("nt"), pat, "")))
+        .alias(f"sc_{key}")
+        for key, _lang, pat in _SCRIPT_PATTERNS
+    ]
+    base = normed.select(
+        "doc_id",
+        F.expr(_LANGID_TRIGRAMS_FROM_NT).alias("tg"),
+        F.length(F.regexp_replace(F.col("nt"), " ", "")).alias("n_chars"),
+        *script_counts,
+    )
     score_cols = [
         F.expr(
             f"size(filter(tg, t -> t IN ({', '.join(repr(t) for t in tgs)})))"
         ).alias(f"score_{lang}")
         for lang, tgs in LANG_TRIGRAMS.items()
     ]
-    scored = scored.select("doc_id", *score_cols)
+    skeys = [key for key, _lang, _pat in _SCRIPT_PATTERNS]
+    scored = base.select(
+        "doc_id", "n_chars", *[F.col(f"sc_{k}") for k in skeys], *score_cols
+    )
     langs = list(LANG_TRIGRAMS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
     # runner-up via one descending sort of the small fixed-width score array
@@ -234,15 +275,42 @@ def langid_scores(docs: DataFrame) -> DataFrame:
     pred = F.when(best == 0, F.lit("und"))
     for lang in langs:
         pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
-    margin = (best - second).alias("margin")
-    return scored.select(
+    # one (pred, hits, margin) decision struct: script branches in pinned
+    # precedence order, trigram argmax as the fallthrough
+    decision = None
+    for key, lang, _pat in _SCRIPT_PATTERNS:
+        mine = F.col(f"sc_{key}")
+        cond = (mine >= _SCRIPT_MIN_CHARS) & (
+            mine >= _SCRIPT_MIN_FRACTION * F.col("n_chars")
+        )
+        # Han is SUPPORTING evidence for a kana call, not a rival — kanji
+        # routinely outnumbers kana in Japanese prose, and kana's presence
+        # is precisely what separates ja from zh
+        rival_keys = [
+            k for k in skeys if k != key and not (key == "kana" and k == "han")
+        ]
+        rivals = [F.col(f"sc_{k}") for k in rival_keys] + [best]
+        branch = F.struct(
+            F.lit(lang).alias("p"),
+            mine.alias("h"),
+            (mine - F.greatest(*rivals)).alias("m"),
+        )
+        decision = (
+            F.when(cond, branch) if decision is None
+            else decision.when(cond, branch)
+        )
+    decision = decision.otherwise(
+        F.struct(pred.alias("p"), best.alias("h"), (best - second).alias("m"))
+    )
+    d = scored.select("doc_id", decision.alias("d"))
+    return d.select(
         "doc_id",
-        pred.alias("pred_lang"),
-        best.alias("n_hits"),
-        margin,
+        F.col("d.p").alias("pred_lang"),
+        F.col("d.h").alias("n_hits"),
+        F.col("d.m").alias("margin"),
         (
-            (best >= _RELIABLE_MIN_HITS)
-            & ((best - second) >= _RELIABLE_MIN_MARGIN)
+            (F.col("d.h") >= _RELIABLE_MIN_HITS)
+            & (F.col("d.m") >= _RELIABLE_MIN_MARGIN)
         ).alias("is_reliable"),
     )
 

@@ -66,6 +66,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "sim_topk_bruteforce": similarity.sim_topk_bruteforce,
     "sim_ann_buckets": similarity.sim_ann_buckets,
     "sim_ann_lsh": similarity.sim_ann_lsh,
+    "sim_ann_multiprobe": similarity.sim_ann_multiprobe,
     "sim_ann_index_probe": similarity.sim_ann_index_probe,
     # Training-data pipeline — text analysis
     "text_quality_score": textstats.text_quality_score,

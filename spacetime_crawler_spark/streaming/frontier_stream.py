@@ -34,7 +34,6 @@ CANDIDATE_SCHEMA = T.StructType([
     T.StructField("bucket", T.IntegerType()),
 ])
 
-_DEDUP_OUT_SCHEMA = "url_norm string, url_hash bigint, bucket int"
 # State holds the FULL url_norm keys, not just the 64-bit hash: an xxhash64
 # collision must never drop a distinct URL — the batch path anti-joins on
 # (url_hash, url_norm) and the streaming path must agree at any scale.  The
@@ -57,7 +56,7 @@ def _dedup_fn(
                 fresh_mask.append(True)
         out = pdf[fresh_mask]
         if len(out):
-            yield out[["url_norm", "url_hash", "bucket"]]
+            yield out  # every input column passes through, input order
     state.update((list(seen),))
 
 
@@ -65,10 +64,13 @@ def streaming_urlseen_dedup(candidates: DataFrame) -> DataFrame:
     """candidates (streaming) → first-seen rows only, exact, stateful.
 
     Input must carry (url_norm, url_hash, bucket = pmod(url_hash, P)); the
-    state store shards by bucket."""
+    state store shards by bucket.  All OTHER input columns (host, depth,
+    crawl_delay, …) pass through untouched, so the operator composes
+    directly with downstream stages — notably
+    streaming_politeness_schedule in the chained frontier topology."""
     return candidates.groupBy("bucket").applyInPandasWithState(
         _dedup_fn,
-        outputStructType=_DEDUP_OUT_SCHEMA,
+        outputStructType=candidates.schema,
         stateStructType=_DEDUP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -85,3 +85,53 @@ def test_digest_equals_tuple_equality_on_crawl_state(spark, tmp_path):
     assert t1 == t2 and d1 == d2
     assert t1 != t3 and d1 != d3
     pages.unpersist()
+
+
+def test_world_cache_eviction_is_lock_guarded(tmp_path, monkeypatch):
+    """ensure_world's cache discipline (round-3 advice): stale worlds in
+    cache_root are evicted only when no live reader holds their lock, the
+    current world is never swept, and eviction never reaches outside
+    cache_root."""
+    import fcntl
+    import os
+
+    import bench
+
+    root = tmp_path / "cache"
+    root.mkdir()
+
+    def mkworld(name):
+        d = root / name
+        d.mkdir()
+        (d / "_SUCCESS").touch()
+        return d
+
+    keep = mkworld("scs_bench_world_100_aaaa")
+    stale_free = mkworld("scs_bench_world_100_bbbb")
+    stale_held = mkworld("scs_bench_world_200_cccc")
+    outside = tmp_path / "scs_bench_world_300_dddd"  # NOT in cache_root
+    outside.mkdir()
+
+    # a concurrent reader holds a shared lock on stale_held
+    held_f = open(str(stale_held) + ".lock", "a")
+    fcntl.flock(held_f, fcntl.LOCK_SH)
+
+    bench._evict_stale_worlds(str(root), keep.name)
+
+    assert keep.exists()                      # current world untouched
+    assert not stale_free.exists()            # unguarded stale → evicted
+    assert stale_held.exists()                # live reader → skipped
+    assert outside.exists()                   # sweep scoped to cache_root
+    held_f.close()
+
+    # once the reader releases, the same sweep reclaims it
+    bench._evict_stale_worlds(str(root), keep.name)
+    assert not stale_held.exists()
+
+    # reader-lock acquisition is shared: two holders coexist
+    bench._hold_reader_lock(str(keep) + ".lock")
+    bench._hold_reader_lock(str(keep) + ".lock")
+    assert len(bench._READER_LOCKS) >= 2
+    for f in bench._READER_LOCKS:
+        f.close()
+    bench._READER_LOCKS.clear()

@@ -33,6 +33,33 @@ def test_ann_lsh_recall(spark):
     assert overlap >= 2, (exact, approx)
 
 
+def test_ann_multiprobe_recall_geq_single_probe(spark):
+    """Hamming-1 multi-probe must dominate single-probe at EQUAL table
+    count: its candidate bucket set is a superset, so recall of the exact
+    top-k can only rise; assert both the recall ordering and that the
+    multi-probe bucket set is a strict superset of the single-probe one
+    (k extra buckets per table)."""
+    exact = {r.vec_id
+             for r in similarity.sim_topk_bruteforce(spark, SF_DIR).collect()}
+    single = {r.vec_id
+              for r in similarity.sim_ann_lsh(spark, SF_DIR).collect()}
+    multi = {r.vec_id
+             for r in similarity.sim_ann_multiprobe(spark, SF_DIR).collect()}
+    assert len(exact & multi) >= len(exact & single), (exact, single, multi)
+    # driver-side probe set: (k+1) pairs per table, exact pairs included
+    from spacetime_crawler_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+    qv = list(
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") == similarity._QUERY_VEC_ID)
+        .collect()[0].embedding
+    )
+    p0 = set(similarity._query_buckets(qv))
+    p1 = set(similarity._query_buckets(qv, hamming=1))
+    assert p0 < p1
+    assert len(p1) == similarity.LSH_TABLES * (similarity.LSH_BITS_PER_TABLE + 1)
+
+
 def test_ann_index_probe_prunes_partitions_and_matches_lsh(spark, tmp_path):
     """The materialized ANN path: (1) the probe's parquet scan carries
     PartitionFilters on (table, bucket) — i.e. it reads only the query's L
@@ -69,6 +96,23 @@ def test_ann_index_probe_prunes_partitions_and_matches_lsh(spark, tmp_path):
     want = [(r.vec_id, r.cos_sim)
             for r in similarity.sim_ann_lsh(spark, SF_DIR).collect()]
     assert got == want
+
+    # multi-probe (hamming=1) still prunes — L·(k+1) directories, never a
+    # full scan — and agrees with the in-memory multi-probe path
+    probe_mp = similarity.probe_ann_index(
+        spark, index_dir, qv,
+        exclude_vec_id=similarity._QUERY_VEC_ID, hamming=1,
+    )
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe_mp.explain(mode="formatted")
+    pf = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
+    assert pf and "table" in pf[0] and "bucket" in pf[0], pf
+    assert "[]" not in pf[0].split("PartitionFilters:")[1][:6]
+    got_mp = [(r.vec_id, r.cos_sim) for r in probe_mp.collect()]
+    want_mp = [(r.vec_id, r.cos_sim)
+               for r in similarity.sim_ann_multiprobe(spark, SF_DIR).collect()]
+    assert got_mp == want_mp
 
 
 def test_langid_trigram_snippets_unseen_vocab(spark):
@@ -109,6 +153,40 @@ def test_langid_trigram_snippets_unseen_vocab(spark):
     assert got[1][3] is True and got[1][2] >= 2, got
     for d in (2, 3, 4, 5, 7, 8, 9, 10):
         assert got[d][2] >= 1, (d, got[d])
+
+
+def test_langid_native_scripts(spark):
+    """Native-script layer: UTF-8 Cyrillic Russian resolves through the
+    extended ru trigram profile; unsegmented CJK resolves through the
+    script-count layer (Han→zh, kana→ja, Hangul→ko) — exact-trigram
+    matching cannot fire on unsegmented CJK, so script counts decide.
+    A Latin document QUOTING a few CJK characters must not flip."""
+    pdf = [
+        (1, "когда мы пришли в этот город мы увидели большую площадь"
+            " которая была украшена старыми домами"),
+        (2, "我们在这里有很多好朋友他们都住在这个城市的中心每天一起工作学习"),
+        (3, "私たちはこの町にたくさんの友達がいてみんなで一緒に働いています"),
+        (4, "우리는 이 도시에 많은 친구들이 있고 모두 함께 일하고 있습니다"
+            " 그들은 도시의 중심에 살고 있습니다"),
+        # Latin text mentioning two Han chars — below both script floors
+        (5, "the character 中国 appears twice in this long english sentence"
+            " about the history of writing systems and their evolution"),
+        # kanji-heavy Japanese still carries kana — ja, not zh
+        (6, "東京都の中心部では毎日多くの人々が電車で通勤していますが休日には公園を散歩します"),
+    ]
+    df = spark.createDataFrame(pdf, ["doc_id", "text"])
+    got = {r.doc_id: (r.pred_lang, r.n_hits, r.margin, r.is_reliable)
+           for r in textstats.langid_scores(df).collect()}
+    assert got[1][0] == "ru", got
+    assert got[2][0] == "zh", got
+    assert got[3][0] == "ja", got
+    assert got[4][0] == "ko", got
+    assert got[5][0] == "en", got
+    assert got[6][0] == "ja", got
+    # confidence contract extends to script calls: dominant-script rows are
+    # reliable, the quoting row stays an ordinary (reliable) trigram call
+    for d in (1, 2, 3, 4, 6):
+        assert got[d][3] is True and got[d][2] >= 2, (d, got[d])
 
 
 def test_langid_short_text_guard(spark):

@@ -264,3 +264,128 @@ def test_sched_kernel_zero_delay_drops_host_and_never_rearms():
     out = list(fn(("h.com",), batch_of(4.0), st))
     assert len(out) == 1 and len(out[0]) == 1  # quota 1 → one emission
     assert st.timeouts == [4000]               # backlog of 1 → re-armed
+
+
+def test_streaming_chain_dedup_then_schedule(spark, tmp_path):
+    """The chained frontier topology: candidate stream →
+    streaming_urlseen_dedup → streaming_politeness_schedule, joined through
+    a durable intermediate directory (the Kafka-topic shape of a production
+    deployment — Spark cannot run two arbitrary-stateful operators in one
+    query).  The chain must equal the batch pipeline — first-seen
+    admission, then schedule_round + leftover carry — round for round:
+    duplicates re-announced in later rounds must never reach the
+    scheduler, and the surviving rows must schedule with identical
+    (host, url, fetch_seq, due_s)."""
+    import time
+
+    from spacetime_crawler_spark.operators.politeness import (
+        leftover_after_schedule,
+        schedule_round,
+    )
+
+    BUDGET = 4.0
+    DELAYS = {"h1.com": 1.0, "h2.com": 2.0}  # quotas 4 and 2
+    ROUNDS = 3
+    COLS = (
+        "url_norm string, url_hash bigint, bucket int, host string,"
+        " depth int, crawl_delay double"
+    )
+
+    def new_rows(rnd):
+        rows = []
+        for i in range(5):  # 5 fresh > quota 4 → backlog carry on h1
+            rows.append(("h1.com", f"http://h1.com/r{rnd}/p{i}", rnd % 3, 1.0))
+        for i in range(3):  # 3 fresh > quota 2 → carry on h2
+            rows.append(("h2.com", f"http://h2.com/r{rnd}/p{i}", 1, 2.0))
+        if rnd > 1:  # re-announcements the dedup stage must swallow
+            rows.append(("h1.com", "http://h1.com/r1/p0", 0, 1.0))
+            rows.append(("h2.com", "http://h2.com/r1/p0", 0, 2.0))
+        return rows
+
+    def as_df(rows):
+        return (
+            spark.createDataFrame(
+                rows, "host string, url_norm string, depth int,"
+                      " crawl_delay double"
+            )
+            .withColumn("url_hash", F.xxhash64("url_norm"))
+            .withColumn("bucket", F.pmod("url_hash", F.lit(8)).cast("int"))
+            .select("url_norm", "url_hash", "bucket", "host", "depth",
+                    "crawl_delay")
+        )
+
+    # --- batch reference: python-set first-seen admission (the dedup
+    # contract), then the batch scheduler with leftover carry
+    delays_df = spark.createDataFrame(
+        list(DELAYS.items()), "host string, crawl_delay double"
+    )
+    seen: set[str] = set()
+    batch_by_round = {}
+    leftover = None
+    for rnd in range(1, ROUNDS + 1):
+        fresh = [r for r in new_rows(rnd) if r[1] not in seen]
+        seen.update(r[1] for r in fresh)
+        nxt = as_df(fresh).withColumn("h2", F.hash("url_norm")).select(
+            "url_norm", "url_hash", "h2", "host", "depth"
+        )
+        pool = nxt if leftover is None else leftover.unionByName(nxt)
+        frontier = (
+            pool.groupBy("url_norm", "url_hash", "h2", "host")
+            .agg(F.min("depth").alias("depth"))
+            .join(delays_df, "host")
+        )
+        selected = schedule_round(frontier, BUDGET).persist()
+        batch_by_round[rnd] = sorted(
+            (r.host, r.url_norm, r.fetch_seq, r.due_s)
+            for r in selected.collect()
+        )
+        leftover = leftover_after_schedule(frontier, selected)
+
+    # --- streaming chain
+    src = str(tmp_path / "chain_src")
+    inter = str(tmp_path / "chain_inter")
+    ckpt1 = str(tmp_path / "chain_ckpt1")
+    os.makedirs(src)
+    os.makedirs(inter)
+    for rnd in range(1, ROUNDS + 1):
+        as_df(new_rows(rnd)).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)  # distinct mtimes → deterministic trigger order
+
+    stage1 = fs.streaming_urlseen_dedup(
+        spark.readStream.schema(COLS).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def sink(df, _bid):
+        if df.count():
+            df.coalesce(1).write.mode("append").parquet(inter)
+            time.sleep(1.05)  # stage-2 trigger order again
+
+    q1 = (
+        stage1.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+
+    stage2 = fs.streaming_politeness_schedule(
+        spark.readStream.schema(COLS).option("maxFilesPerTrigger", 1)
+        .parquet(inter)
+        .select("host", "url_norm", "url_hash", "depth", "crawl_delay"),
+        BUDGET,
+    )
+    out = _run_to_memory(stage2, spark, "chain_out").collect()
+    stream_by_round = {}
+    for r in out:
+        stream_by_round.setdefault(r.sched_round, []).append(
+            (r.host, r.url_norm, r.fetch_seq, r.due_s)
+        )
+    assert set(stream_by_round) == set(batch_by_round)
+    for rnd in batch_by_round:
+        assert sorted(stream_by_round[rnd]) == batch_by_round[rnd], rnd
+    # the re-announced duplicates were admitted exactly once: they were
+    # scheduled in round 1 and never re-emitted later
+    all_sched = [t for ts in stream_by_round.values() for t in ts]
+    assert len([t for t in all_sched
+                if t[1] == "http://h1.com/r1/p0"]) == 1
