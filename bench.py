@@ -24,6 +24,7 @@ import json
 import os
 import sys
 import time
+from contextlib import contextmanager as _contextmanager
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -76,7 +77,13 @@ def _stop_drained(spark, timeout_s: float = 10.0) -> None:
     digests read before this point)."""
     st = spark.sparkContext.statusTracker()
     deadline = time.monotonic() + timeout_s
-    while st.getActiveJobsIds() and time.monotonic() < deadline:
+    # poll STAGES as well as jobs: an early-exit job completes (and leaves
+    # getActiveJobsIds) while its canceled straggler tasks still run inside
+    # active stages — the stage view is what actually covers the race
+    while (
+        (st.getActiveJobsIds() or st.getActiveStageIds())
+        and time.monotonic() < deadline
+    ):
         time.sleep(0.05)
     time.sleep(0.3)  # let the scheduler's completion events finish merging
     spark.stop()
@@ -229,23 +236,37 @@ def ensure_world() -> tuple[str, list[str]]:
                 synth.write_pages_parquet(spark, p, pages_dir)
                 _stop_drained(spark)
     _evict_stale_worlds(cache_root, world_name)
+    # one-time legacy sweep: pre-round-3 runs cached worlds DIRECTLY in the
+    # global tempdir (no lock discipline existed then, so none applies);
+    # compare PATHS so the live dir survives when cache_root IS the tempdir.
+    # Without this, an orphaned ~23 GB legacy world breaks the one-world
+    # disk bound and can ENOSPC the next generation.
+    import shutil
+    import tempfile as _tf
+
+    for stale in os.listdir(_tf.gettempdir()):
+        stale_path = os.path.join(_tf.gettempdir(), stale)
+        if (
+            stale.startswith("scs_bench_world_")
+            and os.path.isdir(stale_path)
+            and stale_path != pages_dir
+            and os.path.dirname(stale_path) != cache_root
+        ):
+            shutil.rmtree(stale_path, ignore_errors=True)
     return pages_dir, seeds
 
 
 _READER_LOCKS: list = []  # keep shared-lock fds open for the process lifetime
 
 
+@_contextmanager
 def _locked(path: str):
     """Exclusive-flock context manager (blocking)."""
-    import contextlib
     import fcntl
 
-    @contextlib.contextmanager
-    def cm():
-        with open(path, "a") as f:
-            fcntl.flock(f, fcntl.LOCK_EX)
-            yield
-    return cm()
+    with open(path, "a") as f:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        yield
 
 
 def _hold_reader_lock(lock_path: str) -> None:
@@ -275,7 +296,11 @@ def _evict_stale_worlds(cache_root: str, keep_name: str) -> None:
             with open(stale_path + ".lock", "a") as lf:
                 fcntl.flock(lf, fcntl.LOCK_EX | fcntl.LOCK_NB)
                 shutil.rmtree(stale_path, ignore_errors=True)
-                os.unlink(stale_path + ".lock")
+                # the lock FILE is deliberately left behind: unlinking it
+                # would orphan the inode a concurrent reader may be about
+                # to flock (open-but-not-yet-locked window), making its
+                # shared lock invisible to future evictions.  Lock files
+                # are 0-byte, one per world name — bounded litter.
         except OSError:
             continue  # held by a live reader (or fs race) — leave it
 

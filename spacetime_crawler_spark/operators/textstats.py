@@ -280,8 +280,15 @@ def langid_scores(docs: DataFrame) -> DataFrame:
     decision = None
     for key, lang, _pat in _SCRIPT_PATTERNS:
         mine = F.col(f"sc_{key}")
-        cond = (mine >= _SCRIPT_MIN_CHARS) & (
-            mine >= _SCRIPT_MIN_FRACTION * F.col("n_chars")
+        # three gates: absolute floor, prefix fraction, AND stronger than
+        # the best trigram score — a majority-Latin document QUOTING a long
+        # CJK passage keeps its Latin-language call (the trigram evidence
+        # outweighs the quoted script), while genuine CJK text (whose Latin
+        # trigram scores are ~0) still resolves by script
+        cond = (
+            (mine >= _SCRIPT_MIN_CHARS)
+            & (mine >= _SCRIPT_MIN_FRACTION * F.col("n_chars"))
+            & (mine > best)
         )
         # Han is SUPPORTING evidence for a kana call, not a rival — kanji
         # routinely outnumbers kana in Japanese prose, and kana's presence

@@ -602,12 +602,18 @@ def run_crawl(
     # F12 — one metrics snapshot for the whole run (off the per-round
     # critical path; per-round lineage lives in fetch_log already)
     if run.metrics:
+        # phase_s rides along as a map column so the committed table carries
+        # the same W-vs-F diagnostic the driver sees (RoundMetrics.phase_s) —
+        # a cluster operator can read scaling behavior off the state table
+        # without driver logs
         metrics_df = spark.createDataFrame(
             [(m.round, m.urls_selected, m.urls_fetched_ok, m.urls_404,
-              m.candidates, m.bloom_skipped, m.urls_new, m.wall_s)
+              m.candidates, m.bloom_skipped, m.urls_new, m.wall_s,
+              dict(m.phase_s))
              for m in run.metrics],
             "round int, urls_selected long, urls_fetched_ok long, urls_404 long,"
-            " candidates long, bloom_skipped long, urls_new long, wall_s double",
+            " candidates long, bloom_skipped long, urls_new long, wall_s double,"
+            " phase_s map<string,double>",
         )
         io.write("metrics", run.rounds_run, metrics_df)
         io.commit(run.rounds_run, {"metrics": len(run.metrics)})

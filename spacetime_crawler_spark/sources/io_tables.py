@@ -339,10 +339,24 @@ class SparkIcebergStore:
             writer = writer.partitionedBy(cols[0], *cols[1:])
         writer.create()
 
+    def _append(self, name: str, df: DataFrame) -> None:
+        # merge-schema: an upgraded engine may append a WIDER row shape to a
+        # table created by an older build (e.g. the metrics table gaining
+        # phase_s); Iceberg evolves the schema additively instead of
+        # failing the end-of-run write after all the crawl work is done.
+        # Both spellings are set — Iceberg's canonical write option is
+        # "merge-schema", some releases accept only "mergeSchema".
+        (
+            df.writeTo(self._fq(name))
+            .option("merge-schema", "true")
+            .option("mergeSchema", "true")
+            .append()
+        )
+
     def append_rows(self, name: str, rows: list, schema: str) -> None:
         df = self.spark.createDataFrame(rows, schema)
         if self._exists(name):
-            df.writeTo(self._fq(name)).append()
+            self._append(name, df)
         else:
             self._create(name, df)
 
@@ -357,7 +371,7 @@ class SparkIcebergStore:
             self.spark.sql(
                 f"DELETE FROM {self._fq(name)} WHERE {STATE_ROUND_COL} = {int(rnd)}"
             )
-            df.writeTo(self._fq(name)).append()
+            self._append(name, df)
         else:
             self._create(name, df)
 

@@ -129,7 +129,12 @@ def _make_sched_fn(round_budget_s: float, use_timeout: bool):
     politeness timer so a backlogged host drains without input.  In
     NoTimeout mode a host with a backlog but no new input is not invoked
     until its next input row — and sched_round is a PER-HOST invocation
-    counter, which then lags the global trigger index for that host."""
+    counter, which then lags the global trigger index for that host.
+    In use_timeout (production) mode drained hosts keep NO state row
+    (evicted — state store stays O(backlogged hosts)); on resurfacing,
+    sched_round restarts at 1 and crawl_delay is re-learned.  NoTimeout
+    mode keeps drained state so sched_round stays a lifetime counter
+    (the batch-equivalence contract)."""
     import math
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
@@ -170,13 +175,26 @@ def _make_sched_fn(round_budget_s: float, use_timeout: bool):
                     (host, u, h, d, delay, rounds, seq, delay * seq)
                 )
                 del pending[u]
-        urls = list(pending)
-        state.update((
-            rounds, delay,
-            urls,
-            [pending[u][1] for u in urls],
-            [pending[u][0] for u in urls],
-        ))
+        if not pending and use_timeout:
+            # DRAINED host in production (timeout) mode: keep NO state row
+            # (remove any existing one) — the state store stays
+            # O(backlogged hosts), not O(all-hosts-ever).  crawl_delay is
+            # re-learned from the next input row and the per-host
+            # sched_round counter restarts if the host later resurfaces
+            # (sched_round counts invocations of a live backlog episode).
+            # In NoTimeout (deterministic/differential) mode state is KEPT
+            # so sched_round stays a lifetime invocation counter — the
+            # round-for-round batch-equivalence contract depends on it.
+            if state.exists:
+                state.remove()
+        else:
+            urls = list(pending)
+            state.update((
+                rounds, delay,
+                urls,
+                [pending[u][1] for u in urls],
+                [pending[u][0] for u in urls],
+            ))
         if use_timeout and quota >= 1 and pending:
             # production mode: a BACKLOGGED host drains on its own politeness
             # timer even when no new candidates arrive for it.  Re-armed only

@@ -238,3 +238,24 @@ def test_fresh_run_fences_stale_state(spark, tiny, tmp_path_factory):
     run_clean, _ = _run(spark, tiny, tmp_path_factory.mktemp("clean"), 2)
     assert (_final_state(spark, run_short.io, 2)
             == _final_state(spark, run_clean.io, 2))
+
+
+def test_metrics_table_carries_phase_breakdown(spark, tiny, tmp_path_factory):
+    """F12: the committed metrics table must carry the per-phase wall
+    breakdown (phase_s map), not just totals — a cluster operator reads
+    W-vs-F scaling behavior off the state table, no driver logs needed —
+    and the counts must equal the driver-side RoundMetrics."""
+    run, _ = _run(spark, tiny, tmp_path_factory.mktemp("metrics"), 2)
+    io = run.io
+    mdf = io.read(spark, "metrics", run.rounds_run)
+    rows = {r.round: r for r in mdf.collect()}
+    assert set(rows) == {m.round for m in run.metrics}
+    for m in run.metrics:
+        r = rows[m.round]
+        assert r.urls_selected == m.urls_selected
+        assert r.candidates == m.candidates
+        assert r.wall_s == pytest.approx(m.wall_s)
+        assert dict(r.phase_s) == pytest.approx(m.phase_s)
+        # every round spends time in the core phases
+        for phase in ("fetch_extract_write", "frontier_write", "seen_write"):
+            assert phase in r.phase_s, (m.round, r.phase_s)

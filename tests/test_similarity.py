@@ -171,6 +171,13 @@ def test_langid_native_scripts(spark):
         # Latin text mentioning two Han chars — below both script floors
         (5, "the character 中国 appears twice in this long english sentence"
             " about the history of writing systems and their evolution"),
+        # majority-English doc with a LONG CJK quotation (past the script
+        # floor and fraction): the trigram evidence must outweigh the
+        # quoted script — still an English call
+        (7, "the ancient text reads 我们在这里有很多好朋友他们都住在这个城市的中心"
+            " which according to the translation describes the friendship"
+            " between the people of the city and those who worked with them"
+            " in the markets during the early years of the dynasty"),
         # kanji-heavy Japanese still carries kana — ja, not zh
         (6, "東京都の中心部では毎日多くの人々が電車で通勤していますが休日には公園を散歩します"),
     ]
@@ -183,6 +190,7 @@ def test_langid_native_scripts(spark):
     assert got[4][0] == "ko", got
     assert got[5][0] == "en", got
     assert got[6][0] == "ja", got
+    assert got[7][0] == "en", got  # long CJK quote must not flip the call
     # confidence contract extends to script calls: dominant-script rows are
     # reliable, the quoting row stays an ordinary (reliable) trigram call
     for d in (1, 2, 3, 4, 6):

@@ -389,3 +389,70 @@ def test_streaming_chain_dedup_then_schedule(spark, tmp_path):
     all_sched = [t for ts in stream_by_round.values() for t in ts]
     assert len([t for t in all_sched
                 if t[1] == "http://h1.com/r1/p0"]) == 1
+
+
+def test_sched_kernel_evicts_drained_host_state():
+    """A host whose backlog fully drains must leave NO state row behind —
+    the state store is O(backlogged hosts), not O(all-hosts-ever).  A host
+    that drains on its very first invocation never creates state at all."""
+    import pandas as pd
+
+    from spacetime_crawler_spark.streaming import frontier_stream as fs
+
+    class FakeState:
+        def __init__(self, existing=None):
+            self.exists = existing is not None
+            self._val = existing
+            self.stored = None
+            self.removed = False
+
+        @property
+        def get(self):
+            return self._val
+
+        def update(self, v):
+            self.stored = v
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    def batch(urls, delay=1.0):
+        return iter([pd.DataFrame({
+            "host": ["h.com"] * len(urls),
+            "url_norm": urls,
+            "url_hash": list(range(len(urls))),
+            "depth": [0] * len(urls),
+            "crawl_delay": [delay] * len(urls),
+        })])
+
+    fn = fs._make_sched_fn(4.0, use_timeout=True)
+
+    # first invocation, quota 4 ≥ 2 urls → drains; no state ever written
+    st = FakeState()
+    out = list(fn(("h.com",), batch(["http://h.com/a", "http://h.com/b"]), st))
+    assert len(out) == 1 and len(out[0]) == 2
+    assert st.stored is None and st.removed is False
+
+    # existing backlog of 1, no new input beyond it → drains → removed
+    st = FakeState(existing=(3, 1.0, ["http://h.com/z"], [9], [0]))
+    out = list(fn(("h.com",), iter([]), st))
+    assert len(out) == 1 and len(out[0]) == 1
+    assert st.removed is True and st.stored is None
+
+    # still-backlogged host keeps state (5 urls > quota 4)
+    st = FakeState()
+    urls = [f"http://h.com/p{i}" for i in range(5)]
+    list(fn(("h.com",), batch(urls), st))
+    assert st.stored is not None and len(st.stored[2]) == 1
+
+    # NoTimeout (differential) mode: drained state is KEPT, so sched_round
+    # stays a lifetime invocation counter — the batch-equivalence contract
+    fn_nt = fs._make_sched_fn(4.0, use_timeout=False)
+    st = FakeState(existing=(3, 1.0, ["http://h.com/z"], [9], [0]))
+    out = list(fn_nt(("h.com",), iter([]), st))
+    assert len(out) == 1 and out[0]["sched_round"].iloc[0] == 4
+    assert st.removed is False and st.stored is not None
+    assert st.stored[0] == 4 and st.stored[2] == []
