@@ -141,6 +141,47 @@ def state_digest(df, cols: list[str]) -> tuple:
 
 
 def _crawl_once(master: str, pages_dir: str, seeds: list[str], state_dir: str):
+    """Run one crawl trial in a FRESH interpreter and return its result
+    dict.  Process isolation is load-bearing twice over: (1) a
+    stopped-and-recreated SparkContext in one Python process reuses the
+    py4j JVM, whose Python-accumulator channel can wedge after the first
+    stop — observed as a continuous flood of benign-but-huge
+    `ERROR DAGScheduler: Failed to update accumulator` logs through every
+    subsequent session (~36k lines in one bench run); (2) every timed
+    trial gets identical cold-start conditions instead of inheriting a
+    warmed JVM from whichever trial ran first."""
+    import json as _json
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="scs_trial_") as td:
+        argf = os.path.join(td, "args.json")
+        outf = os.path.join(td, "out.json")
+        with open(argf, "w") as f:
+            _json.dump({
+                "master": master, "pages_dir": pages_dir,
+                "seeds": seeds, "state_dir": state_dir,
+            }, f)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--crawl-worker", argf, outf],
+            env=os.environ.copy(),
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"crawl trial subprocess failed (rc={proc.returncode},"
+                f" master={master})"
+            )
+        with open(outf) as f:
+            res = _json.load(f)
+    # JSON round-trips tuples as lists; normalize so digest equality
+    # compares structurally across trials
+    res["state"] = _json.dumps(res["state"])
+    return res
+
+
+def _crawl_once_impl(master: str, pages_dir: str, seeds: list[str],
+                     state_dir: str):
     from spacetime_crawler_spark.plans import crawl as crawl_mod
     from spacetime_crawler_spark.plans.crawl import CrawlConfig, run_crawl
     from spacetime_crawler_spark.session import get_spark
@@ -404,7 +445,23 @@ def bench_crawl(tmp_root: str) -> dict:
     return out
 
 
+def _crawl_worker(argf: str, outf: str) -> None:
+    """Subprocess entrypoint for one isolated crawl trial (see _crawl_once)."""
+    import json as _json
+
+    with open(argf) as f:
+        a = _json.load(f)
+    res = _crawl_once_impl(
+        a["master"], a["pages_dir"], a["seeds"], a["state_dir"]
+    )
+    with open(outf, "w") as f:
+        _json.dump(res, f)
+
+
 def main() -> None:
+    if len(sys.argv) == 4 and sys.argv[1] == "--crawl-worker":
+        _crawl_worker(sys.argv[2], sys.argv[3])
+        return
     timings, trials, total = bench_queries()
     result = {
         "metric": "headline operator suite + crawl URLs fetched+deduped/sec",

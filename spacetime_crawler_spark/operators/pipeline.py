@@ -134,3 +134,58 @@ WHERE doc_id NOT IN (SELECT doc_b FROM near)
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# --- deterministic stratified sampling ----------------------------------------------
+
+# per-language keep thresholds on the first two hex chars of md5(doc_id) —
+# 256 buckets, threshold 'xx' keeps int('xx',16)/256 of the stratum.  md5 is
+# bit-identical across Spark and DuckDB (lowercase hex in both), so the
+# sampled SET is deterministic and oracle-checkable — no RNG, no seed
+# coordination, stable under re-runs and repartitioning.
+SAMPLE_RATE_HEX: dict[str, str] = {
+    "en": "40",  # 64/256 = 25%  (downsample the majority language)
+    "es": "80",  # 50%
+    "de": "80",
+    "fr": "c0",  # 75%
+    "zh": "ff",  # ~100% (keep nearly all of the rarest stratum)
+}
+_SAMPLE_DEFAULT_HEX = "20"  # unlisted languages: 32/256 = 12.5%
+
+
+def _sample_bucket_expr(id_col: str) -> str:
+    """First two hex chars of md5(id) — a 256-way deterministic bucket that
+    computes identically in Spark and DuckDB."""
+    return f"substring(md5(cast({id_col} as string)), 1, 2)"
+
+
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic sample of the documents table —
+    the training-mix primitive (downsample dominant languages, keep rare
+    ones).  Map-only: one hash + one CASE per row, no shuffle, fully
+    pushdown-friendly; at 100 TB the filter runs inside the scan stage and
+    the output is reproducible bit-for-bit on any cluster size."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.lit(False), F.lit(""))
+    for lang, hx in SAMPLE_RATE_HEX.items():
+        rate = rate.when(F.col("lang") == lang, F.lit(hx))
+    rate = rate.otherwise(F.lit(_SAMPLE_DEFAULT_HEX))
+    bucket = F.expr(_sample_bucket_expr("doc_id"))
+    return (
+        docs.withColumn("h2x", bucket)
+        .filter(F.col("h2x") < rate)
+        .select("doc_id", "lang", "h2x")
+    )
+
+
+_SAMPLE_CASE_DUCK = " ".join(
+    f"WHEN lang = '{lang}' THEN '{hx}'" for lang, hx in SAMPLE_RATE_HEX.items()
+)
+
+PIPELINE_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2x
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      < (CASE {_SAMPLE_CASE_DUCK} ELSE '{_SAMPLE_DEFAULT_HEX}' END)
+"""

@@ -394,3 +394,102 @@ SELECT doc_id,
        ) AS fingerprint
 FROM documents
 """
+
+
+# --- corpus bigram vocabulary -------------------------------------------------------
+
+TOP_BIGRAMS_K = 30
+
+
+def text_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K adjacent-token bigrams over the corpus — the vocabulary-builder
+    shape of training-data prep (same plan family as A4: explode →
+    partial+final hash aggregate → TakeOrderedAndProject, so the shuffle
+    carries one row per DISTINCT bigram, not per occurrence).  Bigrams are
+    built JVM-side with a HOF over the shared tokenizer (element_at is
+    1-based; the size<2 guard matters because Spark's sequence(1, 0) is
+    DESCENDING, not empty)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigram_expr = (
+        f"case when size(t) < 2 then array() else"
+        " transform(sequence(1, size(t) - 1),"
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) end"
+    )
+    return (
+        docs.select(F.expr(_SPARK_TOKENS).alias("t"))
+        .select(F.explode(F.expr(bigram_expr)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(TOP_BIGRAMS_K)
+    )
+
+
+TEXT_BIGRAMS_SQL = f"""
+WITH t AS (SELECT {_DUCK_TOKENS} AS w FROM documents),
+b AS (
+  SELECT unnest(CASE WHEN len(w) < 2 THEN []
+                     ELSE list_transform(generate_series(1, len(w) - 1),
+                                         i -> w[i] || ' ' || w[i + 1]) END)
+         AS bigram
+  FROM t
+)
+SELECT bigram, COUNT(*) AS n FROM b
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT {TOP_BIGRAMS_K}
+"""
+
+
+# --- per-source quality aggregation -------------------------------------------------
+
+def source_quality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain-level) corpus health: doc count, mean token
+    count, keep rate under the SHARED quality rule exprs (same constants as
+    text_quality_score / pipeline_training_set, so domain filtering can
+    never drift from document filtering).  The C4-style 'drop low-quality
+    domains wholesale' primitive: one map-only projection then a hash
+    aggregate keyed by source — at 100 TB the shuffle carries one row per
+    source, not per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "source",
+        F.expr(SPARK_N_TOKENS).alias("n_tokens"),
+        F.expr(SPARK_STOP_RATIO).alias("stop_ratio"),
+        F.expr(SPARK_AVG_TOK_LEN).alias("avg_tok_len"),
+    ).withColumn(
+        "keep",
+        (
+            (F.col("n_tokens") >= QUALITY_KEEP_MIN_TOKENS)
+            & (F.col("stop_ratio") <= QUALITY_KEEP_MAX_STOP_RATIO)
+            & (F.col("avg_tok_len") >= QUALITY_KEEP_MIN_AVG_TOK_LEN)
+        ).cast("int"),
+    )
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("keep"), 4).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_QUALITY_AGG_SQL = f"""
+WITH t AS (
+  SELECT source, text, {_DUCK_TOKENS} AS w FROM documents
+),
+m AS (
+  SELECT source,
+         {DUCK_N_TOKENS_W} AS n_tokens,
+         {DUCK_STOP_RATIO_W} AS stop_ratio,
+         {DUCK_AVG_TOK_LEN_W} AS avg_tok_len
+  FROM t
+)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(n_tokens), 4) AS avg_tokens,
+       ROUND(AVG(CAST(n_tokens >= {QUALITY_KEEP_MIN_TOKENS}
+                      AND stop_ratio <= {QUALITY_KEEP_MAX_STOP_RATIO}
+                      AND avg_tok_len >= {QUALITY_KEEP_MIN_AVG_TOK_LEN}
+                      AS INT)), 4) AS keep_rate
+FROM m GROUP BY source ORDER BY source
+"""

@@ -74,8 +74,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_langid": textstats.text_langid,
     "text_bpe_token_count": textstats.text_bpe_token_count,
     "text_fingerprint": textstats.text_fingerprint,
+    "text_bigrams_topk": textstats.text_bigrams_topk,
+    "source_quality_agg": textstats.source_quality_agg,
     # Training-data pipeline — end-to-end curation composite
     "pipeline_training_set": pipeline.pipeline_training_set,
+    "pipeline_stratified_sample": pipeline.pipeline_stratified_sample,
     # Training-data pipeline — multimodal plumbing
     "multimodal_binary_meta": multimodal.multimodal_binary_meta,
     "multimodal_fake_features": multimodal.multimodal_fake_features,
@@ -109,8 +112,11 @@ ORACLE_SQL: dict[str, str] = {
     "text_quality_score": textstats.TEXT_QUALITY_SQL,
     "text_token_stats": textstats.TEXT_TOKEN_STATS_SQL,
     "text_fingerprint": textstats.TEXT_FINGERPRINT_SQL,
+    "text_bigrams_topk": textstats.TEXT_BIGRAMS_SQL,
+    "source_quality_agg": textstats.SOURCE_QUALITY_AGG_SQL,
     "multimodal_binary_meta": multimodal.MULTIMODAL_BINARY_META_SQL,
     "pipeline_training_set": pipeline.PIPELINE_TRAINING_SET_SQL,
+    "pipeline_stratified_sample": pipeline.PIPELINE_STRATIFIED_SAMPLE_SQL,
     # rows-only (non-SQL-expressible): a1_approx_unique_pages (HLL sketch),
     # dedup_minhash_lsh / dedup_simhash (hash sketches), dedup_components /
     # graph_pagerank (iterative fixpoints), sim_ann_* (ANN), text_langid
