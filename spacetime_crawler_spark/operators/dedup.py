@@ -579,3 +579,123 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= {_COSINE_DUP_THRESHOLD}
 """
+
+
+# --- span-level (sub-document) dedup + decontamination ------------------------------
+
+# Non-overlapping SPAN_TOKENS-token windows, keyed by md5 of the joined
+# span text.  md5 (not xxhash64) because it computes bit-identically in
+# DuckDB, making both operators below fully oracle-checkable; the 32-char
+# key is also narrower than the span text itself, so the shuffle carries
+# hashes, not prose — the same width win a production xxhash64 key gives.
+SPAN_TOKENS = 8
+
+_SPARK_SPANS = (
+    f"case when size(t) = 0 then array() else"
+    f" transform(sequence(0, cast(floor((size(t) - 1) / {SPAN_TOKENS}) as int)),"
+    f" i -> md5(concat_ws(' ', slice(t, i * {SPAN_TOKENS} + 1, {SPAN_TOKENS}))))"
+    " end"
+)
+_DUCK_SPANS = (
+    f"CASE WHEN len(w) = 0 THEN [] ELSE"
+    f" list_transform(generate_series(0, CAST(floor((len(w) - 1) / {SPAN_TOKENS}) AS INT)),"
+    f" i -> md5(array_to_string(w[i * {SPAN_TOKENS} + 1 : i * {SPAN_TOKENS} + {SPAN_TOKENS}], ' ')))"
+    " END"
+)
+
+
+def _doc_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, span) — one row per non-overlapping token window."""
+    return docs.select(
+        "doc_id", F.expr(_SPARK_TOKENS).alias("t")
+    ).select("doc_id", F.explode(F.expr(_SPARK_SPANS)).alias("span"))
+
+
+def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sub-document duplication signal (the C4-style 'repeated
+    span' filter shape): corpus-wide occurrence count per span, then each
+    doc's fraction of spans that occur more than once anywhere.  Plan:
+    explode → hash aggregate on the 32-char span key (map-side partial
+    combine collapses within-partition repeats) → broadcast-eligible join
+    of the DUPLICATED span set back onto the doc spans → per-doc
+    aggregate.  At 100 TB the duplicated-span set is the small side by
+    construction (boilerplate concentrates), and no stage ever holds a
+    doc's full text after the first projection."""
+    spans = _doc_spans(load_table(spark, sf_dir, "documents"))
+    dup_spans = (
+        spans.groupBy("span")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") > 1)
+        .select("span")
+    )
+    flagged = spans.join(
+        dup_spans.withColumn("is_dup", F.lit(1)), "span", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SPAN_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+s AS (SELECT doc_id, unnest({_DUCK_SPANS}) AS span FROM t),
+d AS (SELECT span FROM s GROUP BY span HAVING COUNT(*) > 1)
+SELECT s.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       ROUND(SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 4) AS dup_ratio
+FROM s LEFT JOIN d ON s.span = d.span
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+
+
+# the pinned synthetic "benchmark" stratum: every 8th doc plays the role of
+# a held-out eval set the training corpus must be decontaminated against
+# (modulus chosen so the planted near-dup structure actually produces
+# contaminated docs at both test scales — a 0-row demo proves nothing)
+EVAL_DOC_MODULUS = 8
+
+
+def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ANY
+    SPAN_TOKENS-token span with the eval stratum (doc_id ≡ 0 mod 97).
+    Returns (doc_id, n_eval_hits) for contaminated non-eval docs.  Plan:
+    the eval span set is distinct-projected and BROADCAST (eval sets are
+    tiny relative to the corpus — that asymmetry is the whole point of the
+    operator), so the contamination check is a map-side hash probe over
+    the training spans: no shuffle of the big side at any scale."""
+    spans = _doc_spans(load_table(spark, sf_dir, "documents"))
+    eval_spans = (
+        spans.filter(F.col("doc_id") % EVAL_DOC_MODULUS == 0)
+        .select("span")
+        .distinct()
+    )
+    return (
+        spans.filter(F.col("doc_id") % EVAL_DOC_MODULUS != 0)
+        .join(F.broadcast(eval_spans), "span", "inner")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_eval_hits"))
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+s AS (SELECT doc_id, unnest({_DUCK_SPANS}) AS span FROM t),
+e AS (SELECT DISTINCT span FROM s WHERE doc_id % {EVAL_DOC_MODULUS} = 0)
+SELECT s.doc_id, COUNT(*) AS n_eval_hits
+FROM s JOIN e ON s.span = e.span
+WHERE s.doc_id % {EVAL_DOC_MODULUS} <> 0
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""

@@ -62,6 +62,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": dedup.dedup_simhash,
     "dedup_components": dedup.dedup_components,
     "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+    "dedup_span_stats": dedup.dedup_span_stats,
+    "decontaminate_against_eval": dedup.decontaminate_against_eval,
     # Training-data pipeline — similarity search
     "sim_topk_bruteforce": similarity.sim_topk_bruteforce,
     "sim_ann_buckets": similarity.sim_ann_buckets,
@@ -108,6 +110,8 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_exact_groups": dedup.DEDUP_EXACT_GROUPS_SQL,
     "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": dedup.DEDUP_EMBEDDING_COSINE_SQL,
+    "dedup_span_stats": dedup.DEDUP_SPAN_STATS_SQL,
+    "decontaminate_against_eval": dedup.DECONTAMINATE_SQL,
     "sim_topk_bruteforce": similarity.SIM_TOPK_SQL,
     "text_quality_score": textstats.TEXT_QUALITY_SQL,
     "text_token_stats": textstats.TEXT_TOKEN_STATS_SQL,

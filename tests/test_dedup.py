@@ -161,3 +161,36 @@ def test_simhash_near_pairs_exact_within_radius(spark, exact_pairs):
     # most radius-7 pairs are the planted near-dups (background min was 16)
     assert found <= set(exact_pairs)
     assert len(found) >= len(exact_pairs) // 2
+
+
+def test_new_pipeline_ops_plan_shapes(spark):
+    """100 TB plan-shape assertions for the round-4 operators:
+    decontamination probes a BROADCAST eval-span set (the big side never
+    shuffles for the join), and the stratified sampler is map-only — its
+    whole plan contains no exchange at all."""
+    import contextlib
+    import io as _io
+
+    from spacetime_crawler_spark.operators import dedup as ddp
+    from spacetime_crawler_spark.operators import pipeline as pl
+
+    def plan_of(df):
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue()
+
+    sf = "/root/testdata/sf0.001"
+    p = plan_of(ddp.decontaminate_against_eval(spark, sf))
+    assert "BroadcastHashJoin" in p, p[:2000]
+
+    p = plan_of(pl.pipeline_stratified_sample(spark, sf))
+    assert "Exchange" not in p, p[:2000]  # map-only: filter inside the scan stage
+    assert "Filter" in p
+
+    # bigram vocabulary: partial+final aggregate pair and a top-K sort that
+    # never materializes the full distinct-bigram set on the driver
+    from spacetime_crawler_spark.operators import textstats as ts
+    p = plan_of(ts.text_bigrams_topk(spark, sf))
+    assert "TakeOrderedAndProject" in p, p[:2000]
+    assert p.count("HashAggregate") >= 2, p[:2000]
