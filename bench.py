@@ -59,8 +59,11 @@ HEADLINE = [
     "dedup_exact_stats",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_span_stats",
     "sim_topk_bruteforce",
+    "sim_ann_multiprobe",
     "text_quality_score",
+    "text_bigrams_topk",
     "multimodal_binary_meta",
 ]
 
