@@ -456,3 +456,41 @@ def test_sched_kernel_evicts_drained_host_state():
     assert len(out) == 1 and out[0]["sched_round"].iloc[0] == 4
     assert st.removed is False and st.stored is not None
     assert st.stored[0] == 4 and st.stored[2] == []
+
+
+def test_streaming_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The stateful operators must run unchanged on the PRODUCTION state
+    backend: RocksDB (disk-backed, bounded executor memory — what a
+    10^10-URL frontier actually deploys on), not just the default
+    HDFS-backed in-memory store.  Same exactness contract as
+    test_streaming_dedup_exact."""
+    src = str(tmp_path / "cands_rocks")
+    os.makedirs(src)
+    urls_a = [(f"http://h{i % 5}.com/p/{i}",) for i in range(150)]
+    urls_b = [(f"http://h{i % 5}.com/p/{i}",) for i in range(75, 225)]  # 75 dups
+    for batch in (urls_a, urls_b):
+        spark.createDataFrame(batch, "url_norm string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = fs.candidate_stream_from_dir(spark, src, n_parts=8)
+        out = _run_to_memory(
+            fs.streaming_urlseen_dedup(stream), spark, "rocks_out"
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    got = [r.url_norm for r in out]
+    assert len(got) == len(set(got)) == 225  # exact dedup on RocksDB state
