@@ -660,29 +660,35 @@ GROUP BY s.doc_id ORDER BY s.doc_id
 """
 
 
-# the pinned synthetic "benchmark" stratum: every 8th doc plays the role of
-# a held-out eval set the training corpus must be decontaminated against
-# (modulus chosen so the planted near-dup structure actually produces
-# contaminated docs at both test scales — a 0-row demo proves nothing)
+# the pinned synthetic "benchmark" stratum: every 8th doc UP TO the cap
+# plays the role of a held-out eval set the training corpus must be
+# decontaminated against.  The modulus is chosen so the planted near-dup
+# structure actually produces contaminated docs at both test scales (a
+# 0-row demo proves nothing); the cap pins the invariant that makes the
+# operator's broadcast safe — a benchmark is a FIXED-SIZE artifact, so the
+# eval span set is bounded by construction (≤ cap docs × spans/doc), never
+# an O(corpus) fraction, no matter how big the training corpus grows.
 EVAL_DOC_MODULUS = 8
+EVAL_DOC_LIMIT = 10_000
 
 
 def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing ANY
-    SPAN_TOKENS-token span with the eval stratum (doc_id ≡ 0 mod 97).
-    Returns (doc_id, n_eval_hits) for contaminated non-eval docs.  Plan:
-    the eval span set is distinct-projected and BROADCAST (eval sets are
-    tiny relative to the corpus — that asymmetry is the whole point of the
-    operator), so the contamination check is a map-side hash probe over
-    the training spans: no shuffle of the big side at any scale."""
+    SPAN_TOKENS-token span with the eval stratum (doc_id ≡ 0 mod
+    EVAL_DOC_MODULUS, doc_id < EVAL_DOC_LIMIT).  Returns
+    (doc_id, n_eval_hits) for contaminated non-eval docs.  Plan: the eval
+    span set is distinct-projected and BROADCAST — sound because the
+    stratum is size-capped by definition (see EVAL_DOC_LIMIT), mirroring
+    real decontamination where the benchmark is tiny relative to the
+    corpus — so the contamination check is a map-side hash probe over the
+    training spans: no shuffle of the big side at any scale."""
     spans = _doc_spans(load_table(spark, sf_dir, "documents"))
-    eval_spans = (
-        spans.filter(F.col("doc_id") % EVAL_DOC_MODULUS == 0)
-        .select("span")
-        .distinct()
+    is_eval = (F.col("doc_id") % EVAL_DOC_MODULUS == 0) & (
+        F.col("doc_id") < EVAL_DOC_LIMIT
     )
+    eval_spans = spans.filter(is_eval).select("span").distinct()
     return (
-        spans.filter(F.col("doc_id") % EVAL_DOC_MODULUS != 0)
+        spans.filter(~is_eval)
         .join(F.broadcast(eval_spans), "span", "inner")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_eval_hits"))
@@ -693,9 +699,10 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECONTAMINATE_SQL = f"""
 WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
 s AS (SELECT doc_id, unnest({_DUCK_SPANS}) AS span FROM t),
-e AS (SELECT DISTINCT span FROM s WHERE doc_id % {EVAL_DOC_MODULUS} = 0)
+e AS (SELECT DISTINCT span FROM s
+      WHERE doc_id % {EVAL_DOC_MODULUS} = 0 AND doc_id < {EVAL_DOC_LIMIT})
 SELECT s.doc_id, COUNT(*) AS n_eval_hits
 FROM s JOIN e ON s.span = e.span
-WHERE s.doc_id % {EVAL_DOC_MODULUS} <> 0
+WHERE NOT (s.doc_id % {EVAL_DOC_MODULUS} = 0 AND s.doc_id < {EVAL_DOC_LIMIT})
 GROUP BY s.doc_id ORDER BY s.doc_id
 """

@@ -166,8 +166,9 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown-friendly; at 100 TB the filter runs inside the scan stage and
     the output is reproducible bit-for-bit on any cluster size."""
     docs = load_table(spark, sf_dir, "documents")
-    rate = F.when(F.lit(False), F.lit(""))
-    for lang, hx in SAMPLE_RATE_HEX.items():
+    items = list(SAMPLE_RATE_HEX.items())
+    rate = F.when(F.col("lang") == items[0][0], F.lit(items[0][1]))
+    for lang, hx in items[1:]:
         rate = rate.when(F.col("lang") == lang, F.lit(hx))
     rate = rate.otherwise(F.lit(_SAMPLE_DEFAULT_HEX))
     bucket = F.expr(_sample_bucket_expr("doc_id"))

@@ -163,11 +163,12 @@ def test_simhash_near_pairs_exact_within_radius(spark, exact_pairs):
     assert len(found) >= len(exact_pairs) // 2
 
 
-def test_new_pipeline_ops_plan_shapes(spark):
+def test_new_pipeline_ops_plan_shapes(spark, sf_dir):
     """100 TB plan-shape assertions for the round-4 operators:
     decontamination probes a BROADCAST eval-span set (the big side never
-    shuffles for the join), and the stratified sampler is map-only — its
-    whole plan contains no exchange at all."""
+    shuffles for the join), the stratified sampler is map-only — its
+    whole plan contains no exchange at all — and neither span operator
+    ever degenerates to a cartesian/nested-loop join."""
     import contextlib
     import io as _io
 
@@ -180,17 +181,22 @@ def test_new_pipeline_ops_plan_shapes(spark):
             df.explain(mode="formatted")
         return buf.getvalue()
 
-    sf = "/root/testdata/sf0.001"
-    p = plan_of(ddp.decontaminate_against_eval(spark, sf))
+    p = plan_of(ddp.decontaminate_against_eval(spark, sf_dir))
     assert "BroadcastHashJoin" in p, p[:2000]
 
-    p = plan_of(pl.pipeline_stratified_sample(spark, sf))
+    p = plan_of(pl.pipeline_stratified_sample(spark, sf_dir))
     assert "Exchange" not in p, p[:2000]  # map-only: filter inside the scan stage
     assert "Filter" in p
+
+    # span dup stats: keyed equi-join of the duplicated-span set back onto
+    # doc spans — partial+final aggregates, never a cartesian blow-up
+    p = plan_of(ddp.dedup_span_stats(spark, sf_dir))
+    assert p.count("HashAggregate") >= 2, p[:2000]
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p[:2000]
 
     # bigram vocabulary: partial+final aggregate pair and a top-K sort that
     # never materializes the full distinct-bigram set on the driver
     from spacetime_crawler_spark.operators import textstats as ts
-    p = plan_of(ts.text_bigrams_topk(spark, sf))
+    p = plan_of(ts.text_bigrams_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in p, p[:2000]
     assert p.count("HashAggregate") >= 2, p[:2000]
