@@ -252,35 +252,38 @@ def sim_ann_lsh(
     the join shape is unchanged.  Driver check is rows-only (ANN is
     approximate by construction); tests/test_similarity.py measures recall
     vs sim_topk_bruteforce."""
+    # ONE map-only pass, no explode/semi-join/distinct: each vector's L
+    # (table, bucket) pairs are packed into a single array of combined
+    # codes (table << k | bucket), the 1-row query side carries its own
+    # (optionally Hamming-1-expanded) code array + embedding, and
+    # candidacy is "code arrays intersect".  Identical candidate set to
+    # the former explode + broadcast-semi-join + distinct shape — a vector
+    # qualifies iff it shares ≥1 (table, bucket) with the query — but the
+    # plan is scan → broadcast 1 row → filter → TakeOrdered: the corpus is
+    # touched once and never shuffled (measured ~2× faster at sf0.1).
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = _with_table_buckets(emb, "embedding")
-    qrow = buckets.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-        "table", "bucket"
-    )
+    codes = "array({})".format(", ".join(
+        f"(cast({t} as bigint) * {1 << LSH_BITS_PER_TABLE} + ({e}))"
+        for t, e in enumerate(_table_bucket_exprs("embedding"))
+    ))
+    with_codes = emb.select("vec_id", "embedding", F.expr(codes).alias("bc"))
+    qcols = [F.col("bc").alias("qbc"), F.col("embedding").alias("qv")]
+    q = with_codes.filter(F.col("vec_id") == _QUERY_VEC_ID).select(*qcols)
     if hamming >= 1:
-        flips = F.array(
-            F.lit(0), *[F.lit(1 << b) for b in range(LSH_BITS_PER_TABLE)]
+        # flip each of the k low (bucket) bits per code; the table id lives
+        # in the high bits, so XOR with < 2^k never crosses tables
+        q = q.select(
+            F.expr(
+                "array_distinct(flatten(transform(qbc,"
+                f" p -> array(p, {', '.join(f'p ^ {1 << b}' for b in range(LSH_BITS_PER_TABLE))}))))"
+            ).alias("qbc"),
+            "qv",
         )
-        qrow = (
-            qrow.select("table", F.explode(flips).alias("flip"), "bucket")
-            .select(
-                "table",
-                F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket"),
-            )
-            .distinct()
-        )
-    candidates = (
-        buckets.filter(F.col("vec_id") != _QUERY_VEC_ID)
-        .join(F.broadcast(qrow), ["table", "bucket"], "left_semi")
-        .select("vec_id", "embedding")
-        .distinct()
-    )
-    query = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv")
-    )
     cos = _SPARK_COS.format(a="embedding", b="qv")
     return (
-        candidates.join(F.broadcast(query))
+        with_codes.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .filter(F.size(F.array_intersect("bc", "qbc")) > 0)
         .withColumn("cos_sim", F.round(F.expr(cos), 4))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(TOP_K)
