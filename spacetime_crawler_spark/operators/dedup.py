@@ -199,6 +199,11 @@ def ngram_jaccard_pairs(
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("common_cold"))
+        # NB cold feeds two consumers (the hot-overlap probe list and the
+        # final left join); measured: persisting it here is a net LOSS
+        # (2.26 s → 2.49 s min-of-4 at sf0.1) — AQE's runtime stage cache
+        # already reuses the duplicated exchanges, and the persist adds a
+        # materialization barrier
     )
     # hot-overlap correction, only for candidate pairs, keyed on doc ids
     ha = hot_idx.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("hs"))
