@@ -26,6 +26,8 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser(description="distributed URL-frontier crawl")
     ap.add_argument("--pages", help="parquet path of the pages table")
+    ap.add_argument("--warc", help="read pages from WARC file(s) or glob"
+                    " (Common-Crawl layout: plain or per-record gzip)")
     ap.add_argument("--synth", choices=["tiny", "small", "bench"],
                     help="generate a synthetic pages world instead")
     ap.add_argument("--synth-pages", type=int, default=None,
@@ -65,8 +67,15 @@ def main() -> None:
         if not args.seeds:
             ap.error("--seeds required with --pages")
         seeds = args.seeds
+    elif args.warc:
+        from spacetime_crawler_spark.sources.warc import read_warc_pages
+
+        pages = read_warc_pages(spark, args.warc)
+        if not args.seeds:
+            ap.error("--seeds required with --warc")
+        seeds = args.seeds
     else:
-        ap.error("one of --pages / --synth is required")
+        ap.error("one of --pages / --synth / --warc is required")
         return
 
     cfg = CrawlConfig(

@@ -1,0 +1,100 @@
+"""WARC source: framing/parse round-trip and full-engine differential —
+a crawl over WARC-loaded pages must equal the same crawl over the same
+pages loaded as a DataFrame."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from spacetime_crawler_spark.plans import crawl as crawl_mod
+from spacetime_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+from spacetime_crawler_spark.sources import synth, warc
+
+
+def _warc_bytes(rows, gzip_members=False, with_request_record=False):
+    out = []
+    for url, ts, html in rows:
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+        hdr = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {ts:%Y-%m-%dT%H:%M:%SZ}\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        rec = hdr + http + b"\r\n\r\n"
+        out.append(gzip.compress(rec) if gzip_members else rec)
+    if with_request_record:
+        req = (
+            b"WARC/1.0\r\nWARC-Type: request\r\n"
+            b"WARC-Target-URI: http://x.com/\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            b"Content-Length: 0\r\n\r\n\r\n\r\n"
+        )
+        out.insert(1, gzip.compress(req) if gzip_members else req)
+    return b"".join(out)
+
+
+def test_warc_roundtrip_both_layouts(spark, tmp_path):
+    p = synth.world("tiny", n_pages=120)
+    src = synth.generate_pages_df(spark, p).select("url", "warc_ts", "html")
+    rows = [(r.url, r.warc_ts, bytes(r.html)) for r in src.collect()]
+
+    for gz, name in ((False, "plain.warc"), (True, "records.warc.gz")):
+        d = tmp_path / name.replace(".", "_")
+        os.makedirs(d)
+        # split across two files — parallelism in this source is per-file
+        half = len(rows) // 2
+        for i, part in enumerate((rows[:half], rows[half:])):
+            (d / f"part{i}.{name}").write_bytes(
+                _warc_bytes(part, gzip_members=gz, with_request_record=(i == 0))
+            )
+        back = warc.read_warc_pages(spark, str(d)).collect()
+        got = sorted((r.url, bytes(r.html)) for r in back)
+        want = sorted((u, h) for u, _, h in rows)
+        assert got == want, (gz, len(got), len(want))
+        assert all(r.text is None and r.lang is None for r in back)
+
+
+def test_crawl_over_warc_equals_dataframe_pages(spark, tmp_path):
+    """North-rule input-format independence: the SAME seed list + budget
+    over pages ingested from WARC must produce the identical URL-seen set
+    and fetch log (ordering + text sha) as over the DataFrame pages."""
+    p = synth.world("tiny", n_pages=300)
+    pages_df = synth.generate_pages_df(spark, p).persist()
+    seeds = synth.seed_urls(p)
+
+    rows = [
+        (r.url, r.warc_ts, bytes(r.html))
+        for r in pages_df.select("url", "warc_ts", "html").collect()
+    ]
+    d = tmp_path / "cc"
+    os.makedirs(d)
+    for i in range(3):
+        (d / f"seg{i}.warc.gz").write_bytes(
+            _warc_bytes(rows[i::3], gzip_members=True)
+        )
+    warc_pages = warc.read_warc_pages(spark, str(d))
+
+    def state(run):
+        seen = sorted(
+            (r.url_norm, r.round_seen)
+            for r in crawl_mod.read_seen(spark, run.io).collect()
+        )
+        log = sorted(
+            (r.round, r.host, r.fetch_seq, r.url_norm, r.text_sha256)
+            for r in crawl_mod.read_fetch_log(
+                spark, run.io, run.rounds_run
+            ).collect()
+        )
+        return seen, log
+
+    cfg_a = CrawlConfig(state_dir=str(tmp_path / "a"), rounds=2, round_budget_s=8.0)
+    cfg_b = CrawlConfig(state_dir=str(tmp_path / "b"), rounds=2, round_budget_s=8.0)
+    run_df = run_crawl(spark, pages_df, seeds, cfg_a)
+    run_wc = run_crawl(spark, warc_pages, seeds, cfg_b)
+    assert run_wc.rounds_run == run_df.rounds_run
+    assert state(run_wc) == state(run_df)
+    pages_df.unpersist()
