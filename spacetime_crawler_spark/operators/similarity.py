@@ -3,10 +3,12 @@ cosine top-k as the exact baseline, and a random-hyperplane LSH-bucketed
 variant as the 100 TB scale path.
 
 All vector math is JVM-side higher-order functions (zip_with / aggregate)
-inside whole-stage codegen — no Python in the hot path.  At real scale the
-LSH variant turns top-k from a full-scan-per-query into a bucket lookup:
-probe cost ∝ bucket size, and buckets are a keyed equi-join, broadcastable
-for small query sets.
+inside whole-stage codegen — no Python in the hot path.  Two LSH shapes:
+the in-memory path (sim_ann_lsh) is one map-only scan with a broadcast
+query-code array — cheap rerank, no shuffle; the materialized path
+(build_ann_index / probe_ann_index) partitions the index by (table,
+bucket) so a probe is a partition-pruned read of L·(probes) directories,
+the true scale route when the corpus must not be scanned per query.
 """
 
 from __future__ import annotations
@@ -244,14 +246,16 @@ def sim_ann_lsh(
     spark: SparkSession, sf_dir: str, hamming: int = 0
 ) -> DataFrame:
     """ANN top-k for the pinned query: candidates = vectors sharing ANY
-    (table, bucket) with the query — a keyed semi-join, never a full scan —
-    then exact cosine rerank of candidates only.  hamming=1 multi-probes
-    each table's Hamming-1 neighbor buckets too (see _query_buckets), the
-    probe-side expansion staying fully declarative: the 1-row query bucket
-    set explodes to (k+1) rows per table BEFORE the broadcast semi-join, so
-    the join shape is unchanged.  Driver check is rows-only (ANN is
-    approximate by construction); tests/test_similarity.py measures recall
-    vs sim_topk_bruteforce."""
+    (table, bucket) with the query, found in a single map-only pass (each
+    vector's L pairs packed into one array of combined codes, broadcast
+    1-row query, non-empty array_intersect — see the inline note), then
+    exact cosine rerank of candidates only.  hamming=1 multi-probes each
+    table's Hamming-1 neighbor buckets by expanding the QUERY's code
+    array only.  For batched query sets, or when the corpus shouldn't be
+    scanned at all, use the materialized partition-pruned index path
+    (build_ann_index / probe_ann_index).  Driver check is rows-only (ANN
+    is approximate by construction); tests/test_similarity.py measures
+    recall vs sim_topk_bruteforce."""
     # ONE map-only pass, no explode/semi-join/distinct: each vector's L
     # (table, bucket) pairs are packed into a single array of combined
     # codes (table << k | bucket), the 1-row query side carries its own

@@ -2,23 +2,33 @@
 canonical pages schema (url, warc_ts, html, text, lang).
 
 Real Common-Crawl segments ship as WARC files (ISO 28500): a sequence of
-records, each `WARC/1.0\\r\\n<headers>\\r\\n\\r\\n<payload>\\r\\n\\r\\n`,
-usually stored as CONCATENATED per-record gzip members so a reader can
-split members without decompressing the whole file.  This reader supports
-both that layout and plain uncompressed WARC.
+records, each `WARC/1.x\\r\\n<headers>\\r\\n\\r\\n<payload>\\r\\n\\r\\n`,
+usually stored as concatenated per-record gzip members.  This reader
+supports both that layout and plain uncompressed WARC.
+
+Framing is CONTENT-LENGTH-DELIMITED, as the spec requires — never a
+substring split: a page whose html happens to contain the bytes
+"WARC/1.0\\r\\n" (such pages exist in real Common Crawl) must not
+mis-frame the stream.  On a malformed record the reader resyncs to the
+next version marker and keeps going; one bad record skips itself, not
+the file, and a corrupt/truncated gzip tail yields the records
+decompressed so far.
 
 Scale shape: `spark.read.format("binaryFile")` yields one row per WARC
 file — exactly how production pipelines shard Common Crawl (one ~1 GB
 WARC per task; parallelism = number of files, thousands per segment).
 Record splitting + header parsing run as an Arrow-batched mapInPandas
-(pure stdlib — no external warc library in this sandbox, and none
-needed: the framing is a dozen lines), emitting only `response` records.
-`text`/`lang` are left NULL — extraction is the engine's job (F9), and
-the crawl loop only consumes (url, warc_ts, html).
+(pure stdlib — no external warc library needed: the framing is a page of
+code), emitting only `response` records, one output batch per input
+file so peak memory is bounded by one decompressed file, not one Arrow
+batch of files.  `text`/`lang` are left NULL — extraction is the
+engine's job (F9), and the crawl loop only consumes (url, warc_ts,
+html).
 """
 
 from __future__ import annotations
 
+import gzip
 import zlib
 from collections.abc import Iterator
 from datetime import datetime, timezone
@@ -26,67 +36,94 @@ from datetime import datetime, timezone
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-# the canonical pages schema (sources/synth.py writes the same shape)
-PAGES_SCHEMA_DDL = (
-    "url string, warc_ts timestamp, html binary, text string, lang string"
-)
+# the canonical pages schema — ONE definition, shared with the synthetic
+# generator so the two sources can never drift
+from spacetime_crawler_spark.sources.synth import PAGES_SCHEMA_DDL
+
+_MARKER = b"WARC/1."
 
 
-def _gzip_members(data: bytes) -> Iterator[bytes]:
-    """Decompress a stream of CONCATENATED gzip members (the Common-Crawl
-    WARC layout: one member per record) — stdlib gzip stops after the
-    first member, so walk members with zlib and its unused_data tail."""
+def _decompress(data: bytes) -> bytes:
+    """gzip bytes → raw WARC bytes.  stdlib gzip.decompress already
+    handles CONCATENATED members in linear time (a hand-rolled per-member
+    zlib walk measured superlinear — it recopies the remainder per
+    member).  A corrupt or truncated tail falls back to a member-by-member
+    salvage that keeps everything decompressed before the damage."""
+    try:
+        return gzip.decompress(data)
+    except (OSError, EOFError, zlib.error):
+        out, pos = [], 0
+        while pos < len(data):
+            d = zlib.decompressobj(wbits=31)
+            try:
+                out.append(d.decompress(data[pos:]))
+            except zlib.error:
+                break
+            consumed = len(data) - pos - len(d.unused_data)
+            if consumed <= 0:
+                break
+            pos += consumed
+        return b"".join(out)
+
+
+def _split_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Raw WARC bytes → (headers, payload) per record, framed by each
+    record's own Content-Length.  Malformed records resync to the next
+    version marker instead of failing the file."""
     pos = 0
-    while pos < len(data):
-        d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
-        yield d.decompress(data[pos:])
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:  # corrupt tail — stop rather than loop forever
+    n = len(data)
+    while pos < n:
+        if not data.startswith(_MARKER, pos):
+            nxt = data.find(_MARKER, pos)
+            if nxt < 0:
+                return
+            pos = nxt
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
             return
-        pos += consumed
+        headers: dict[str, str] = {}
+        for line in data[pos:head_end].decode("utf-8", "replace").split("\r\n")[1:]:
+            k, sep, v = line.partition(":")
+            if sep:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            pos = head_end + 4  # malformed: resync from after this header
+            continue
+        payload_start = head_end + 4
+        yield headers, data[payload_start:payload_start + length]
+        pos = payload_start + length
+        while data.startswith(b"\r\n", pos):  # record-separator CRLFs
+            pos += 2
 
 
-def _split_records(data: bytes) -> Iterator[bytes]:
-    """Raw WARC bytes → one bytes blob per record (uncompressed input)."""
-    for chunk in data.split(b"WARC/1.0\r\n"):
-        if chunk.strip():
-            yield b"WARC/1.0\r\n" + chunk
-
-
-def _records(file_bytes: bytes) -> Iterator[bytes]:
+def _records(file_bytes: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
     if file_bytes[:2] == b"\x1f\x8b":
-        for member in _gzip_members(file_bytes):
-            yield from _split_records(member)
+        yield from _split_records(_decompress(file_bytes))
     else:
         yield from _split_records(file_bytes)
 
 
-def _parse_response(rec: bytes):
-    """One WARC record → (url, warc_ts, html) for `response` records, else
-    None.  The payload of a response record is an HTTP message; the html
-    body starts after ITS header block."""
-    head, sep, payload = rec.partition(b"\r\n\r\n")
-    if not sep:
+def _parse_ts(raw: str) -> datetime | None:
+    try:  # WARC/1.0 seconds and WARC/1.1 fractional seconds both parse
+        return datetime.fromisoformat(raw.replace("Z", "+00:00")).astimezone(
+            timezone.utc
+        )
+    except ValueError:
         return None
-    headers: dict[str, str] = {}
-    for line in head.decode("utf-8", "replace").split("\r\n")[1:]:
-        k, _, v = line.partition(":")
-        if _:
-            headers[k.strip().lower()] = v.strip()
+
+
+def _parse_response(headers: dict[str, str], payload: bytes):
+    """(headers, payload) → (url, warc_ts, html) for `response` records,
+    else None.  The payload of a response record is an HTTP message; the
+    html body starts after ITS header block."""
     if headers.get("warc-type") != "response":
         return None
     url = headers.get("warc-target-uri")
-    ts_raw = headers.get("warc-date")
-    if not url or not ts_raw:
+    ts = _parse_ts(headers.get("warc-date", ""))
+    if not url or ts is None:
         return None
-    try:
-        n = int(headers.get("content-length", len(payload)))
-    except ValueError:
-        n = len(payload)
-    payload = payload[:n]
-    ts = datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ").replace(
-        tzinfo=timezone.utc
-    )
     if payload.startswith(b"HTTP/"):
         _, hsep, body = payload.partition(b"\r\n\r\n")
         html = body if hsep else payload
@@ -102,16 +139,20 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
             for blob in pdf["content"]:
-                for rec in _records(bytes(blob)):
-                    parsed = _parse_response(rec)
+                rows = []
+                for headers, payload in _records(bytes(blob)):
+                    parsed = _parse_response(headers, payload)
                     if parsed is not None:
                         url, ts, html = parsed
                         rows.append((url, ts, html, None, None))
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=["url", "warc_ts", "html", "text", "lang"]
-                )
+                # one output batch per FILE: bounds peak memory at one
+                # decompressed WARC and keeps each Arrow binary column
+                # far from the 2 GB offset ceiling
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["url", "warc_ts", "html", "text", "lang"],
+                    )
 
     return raw.mapInPandas(gen, schema=PAGES_SCHEMA_DDL)

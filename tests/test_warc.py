@@ -98,3 +98,62 @@ def test_crawl_over_warc_equals_dataframe_pages(spark, tmp_path):
     assert run_wc.rounds_run == run_df.rounds_run
     assert state(run_wc) == state(run_df)
     pages_df.unpersist()
+
+
+def test_warc_framing_adversarial():
+    """Pure-parser hardening (no Spark): Content-Length framing survives a
+    payload CONTAINING the version marker; WARC/1.1 fractional dates
+    parse; a record with a bad Content-Length resyncs instead of killing
+    the file; a truncated gzip tail salvages the records before it."""
+    import gzip as _gz
+
+    from spacetime_crawler_spark.sources import warc as w
+
+    def rec(url, date, body, warc_type="response", length=None):
+        http = b"HTTP/1.1 200 OK\r\n\r\n" + body
+        n = len(http) if length is None else length
+        return (
+            f"WARC/1.0\r\nWARC-Type: {warc_type}\r\n"
+            f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n"
+            f"Content-Length: {n}\r\n\r\n"
+        ).encode() + http + b"\r\n\r\n"
+
+    # marker bytes INSIDE a payload must not split the record
+    tricky = b"<html>quoting WARC/1.0\r\nWARC-Type: response\r\n</html>"
+    data = (
+        rec("http://a.com/1", "2024-01-01T00:00:00Z", tricky)
+        + rec("http://a.com/2", "2024-01-01T00:00:01.500Z", b"<p>v11 date</p>")
+    )
+    got = [w._parse_response(h, p) for h, p in w._split_records(data)]
+    got = [g for g in got if g]
+    assert [g[0] for g in got] == ["http://a.com/1", "http://a.com/2"]
+    assert got[0][2] == tricky          # payload intact, not mis-framed
+    assert got[1][1].microsecond == 500000  # WARC/1.1 fractional seconds
+
+    # bad Content-Length on record 2 → resync; records 1 and 3 survive
+    data = (
+        rec("http://a.com/1", "2024-01-01T00:00:00Z", b"one")
+        + rec("http://a.com/bad", "2024-01-01T00:00:00Z", b"xx", length=None)
+        .replace(b"Content-Length: 7", b"Content-Length: oops")
+        + rec("http://a.com/3", "2024-01-01T00:00:00Z", b"three")
+    )
+    urls = [g[0] for h, p in w._split_records(data)
+            if (g := w._parse_response(h, p))]
+    assert "http://a.com/1" in urls and "http://a.com/3" in urls
+
+    # truncated gzip tail → salvage everything before the damage
+    members = [
+        _gz.compress(rec(f"http://a.com/{i}", "2024-01-01T00:00:00Z",
+                         b"body" * 10))
+        for i in range(3)
+    ]
+    blob = members[0] + members[1] + members[2][: len(members[2]) // 2]
+    urls = [g[0] for h, p in w._records(blob)
+            if (g := w._parse_response(h, p))]
+    assert urls == ["http://a.com/0", "http://a.com/1"]
+
+    # a record WITHOUT trailing separator CRLFs never leaks them into html
+    one = rec("http://a.com/clean", "2024-01-01T00:00:00Z", b"<b>x</b>")
+    (_, _, html), = [w._parse_response(h, p)
+                     for h, p in w._split_records(one)]
+    assert html == b"<b>x</b>"
