@@ -285,6 +285,7 @@ def ensure_world() -> tuple[str, list[str]]:
     # compare PATHS so the live dir survives when cache_root IS the tempdir.
     # Without this, an orphaned ~23 GB legacy world breaks the one-world
     # disk bound and can ENOSPC the next generation.
+    import fcntl
     import shutil
     import tempfile as _tf
 
@@ -292,11 +293,21 @@ def ensure_world() -> tuple[str, list[str]]:
         stale_path = os.path.join(_tf.gettempdir(), stale)
         if (
             stale.startswith("scs_bench_world_")
+            and not stale.endswith(".lock")
             and os.path.isdir(stale_path)
             and stale_path != pages_dir
             and os.path.dirname(stale_path) != cache_root
         ):
-            shutil.rmtree(stale_path, ignore_errors=True)
+            # A concurrent bench whose cache_root IS the tempdir holds a
+            # shared flock on <world>.lock — honor it exactly like
+            # _evict_stale_worlds does, so this sweep can never delete a
+            # live, reader-locked world out from under another process.
+            try:
+                with open(stale_path + ".lock", "a") as lf:
+                    fcntl.flock(lf, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    shutil.rmtree(stale_path, ignore_errors=True)
+            except OSError:
+                continue  # held by a live reader — leave it
     return pages_dir, seeds
 
 

@@ -311,6 +311,8 @@ class SparkIcebergStore:
         self.spark = spark
         self.prefix = f"{catalog}.{namespace}"
         self.n_buckets = n_buckets
+        # tables known to carry write.spark.accept-any-schema (see _append)
+        self._any_schema_set: set[str] = set()
 
     def _fq(self, name: str) -> str:
         return f"{self.prefix}.{name}"
@@ -337,7 +339,12 @@ class SparkIcebergStore:
                 cols.append(bucket_fn(spec[1], F.col(spec[2])))
         if cols:
             writer = writer.partitionedBy(cols[0], *cols[1:])
-        writer.create()
+        # Spark's DSv2 analyzer rejects a wider DataFrame at ANALYSIS time
+        # unless the table capability reports ACCEPT_ANY_SCHEMA, which
+        # Iceberg only advertises when this table property is set — the
+        # merge-schema write options below are dead letters without it.
+        writer.tableProperty("write.spark.accept-any-schema", "true").create()
+        self._any_schema_set.add(name)
 
     def _append(self, name: str, df: DataFrame) -> None:
         # merge-schema: an upgraded engine may append a WIDER row shape to a
@@ -346,6 +353,15 @@ class SparkIcebergStore:
         # failing the end-of-run write after all the crawl work is done.
         # Both spellings are set — Iceberg's canonical write option is
         # "merge-schema", some releases accept only "mergeSchema".
+        # Tables created by a pre-round-5 build lack the accept-any-schema
+        # property (see _create), so ensure it before the widened append —
+        # once per table per store instance; ALTER is a metadata-only op.
+        if name not in self._any_schema_set:
+            self.spark.sql(
+                f"ALTER TABLE {self._fq(name)} SET TBLPROPERTIES "
+                "('write.spark.accept-any-schema'='true')"
+            )
+            self._any_schema_set.add(name)
         (
             df.writeTo(self._fq(name))
             .option("merge-schema", "true")

@@ -107,11 +107,15 @@ def _records(file_bytes: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
 
 def _parse_ts(raw: str) -> datetime | None:
     try:  # WARC/1.0 seconds and WARC/1.1 fractional seconds both parse
-        return datetime.fromisoformat(raw.replace("Z", "+00:00")).astimezone(
-            timezone.utc
-        )
+        dt = datetime.fromisoformat(raw.replace("Z", "+00:00"))
     except ValueError:
         return None
+    if dt.tzinfo is None:
+        # A tolerated tz-naive WARC-Date means UTC per the spec's intent;
+        # astimezone() would read it as MACHINE-LOCAL time and make warc_ts
+        # differ across machines — replace(), never astimezone(), here.
+        return dt.replace(tzinfo=timezone.utc)
+    return dt.astimezone(timezone.utc)
 
 
 def _parse_response(headers: dict[str, str], payload: bytes):
