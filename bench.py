@@ -51,6 +51,13 @@ CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_CRAWL_SEEDS", "100000"))
 SMALL_CPUS = int(os.environ.get("SPARK_GRAFT_CRAWL_CORES_SMALL", "1"))
 BIG_CPUS = SMALL_CPUS * 4
 
+# The 13-query suite is pinned for cross-round comparability (r4 set the
+# min-of-2 protocol and this membership; both are recorded in the artifact
+# as suite/suite_version so a reader never compares totals across protocol
+# changes).  dedup_exact_stats left the driver registry in r5 (50-row
+# artifact cap — registry.py DRIVER_QUERY_CAP) but stays in the suite via
+# the bench-local resolver below, keeping the timed set identical to r4.
+SUITE_VERSION = 2  # 1 = single-shot 10-query (r1-r3); 2 = min-of-2 13-query
 HEADLINE = [
     "a4_common_words",
     "a6_host_link_graph",
@@ -92,15 +99,34 @@ def _stop_drained(spark, timeout_s: float = 10.0) -> None:
     spark.stop()
 
 
-def bench_queries() -> tuple[dict[str, float], dict[str, list[float]], float]:
+def _suite_fns() -> dict:
+    """HEADLINE name -> callable; registry first, bench-local extras for
+    suite members consolidated out of the driver registry by the 50-row cap."""
+    from spacetime_crawler_spark.operators import dedup
     from spacetime_crawler_spark.plans.registry import SPARK_QUERIES
+
+    fns = dict(SPARK_QUERIES)
+    fns.setdefault("dedup_exact_stats", dedup.dedup_exact_stats)
+    return fns
+
+
+def bench_queries() -> tuple[dict[str, float], dict[str, list[float]], float, dict]:
     from spacetime_crawler_spark.session import get_spark
 
+    fns = _suite_fns()
+    # external-interference indicator (what's wrong #2, r4 verdict): the
+    # 1/5/15-min load BEFORE the suite plus the 1-min load after each pass
+    # make the artifact self-interpreting — a reader can attribute a slow
+    # total to machine load without leaving the JSON.
+    loads = {
+        "start_1_5_15": [round(x, 2) for x in os.getloadavg()],
+        "after_pass_1m": [],
+    }
     spark = get_spark(master=f"local[{CPUS}]", app_name="bench-queries")
     # warm up the JVM/parquet/Arrow paths so startup cost isn't attributed
     # to the first timed query
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
-    SPARK_QUERIES["a2_subdomain_histogram"](spark, SF_DIR).count()
+    fns["a2_subdomain_histogram"](spark, SF_DIR).count()
     # min-of-2 trials per query, mirroring the crawl side's protocol: this
     # sandbox shows up to 4× external interference between identical runs
     # (BASELINE.md variance note), and the r3 artifact's uniform ~23% drift
@@ -111,16 +137,17 @@ def bench_queries() -> tuple[dict[str, float], dict[str, list[float]], float]:
     trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for t in range(2):
         for name in HEADLINE:
-            fn = SPARK_QUERIES[name]
+            fn = fns[name]
             t0 = time.monotonic()
             n = fn(spark, SF_DIR).count()  # full exec; count forces the plan
             dt = time.monotonic() - t0
             trials[name].append(round(dt, 3))
             print(f"# [{t+1}] {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        loads["after_pass_1m"].append(round(os.getloadavg()[0], 2))
     _stop_drained(spark)
     timings = {name: min(ts) for name, ts in trials.items()}
     total = sum(timings.values())
-    return timings, trials, total
+    return timings, trials, total, loads
 
 
 def state_digest(df, cols: list[str]) -> tuple:
@@ -194,9 +221,11 @@ def _crawl_once_impl(master: str, pages_dir: str, seeds: list[str],
     cfg = CrawlConfig(
         state_dir=state_dir, rounds=CRAWL_ROUNDS, round_budget_s=CRAWL_BUDGET
     )
+    load_start = round(os.getloadavg()[0], 2)
     t0 = time.monotonic()
     run = run_crawl(spark, pages, seeds, cfg)
     wall = time.monotonic() - t0
+    load_end = round(os.getloadavg()[0], 2)
     fetched = sum(m.urls_selected for m in run.metrics)
     candidates = sum(m.candidates for m in run.metrics)
     new = sum(m.urls_new for m in run.metrics)
@@ -222,6 +251,11 @@ def _crawl_once_impl(master: str, pages_dir: str, seeds: list[str],
         # long cluster rounds; this isolates the scalable work)
         "last_round_wall_s": last.wall_s if last else 0.0,
         "last_round_work": (last.urls_selected + last.candidates) if last else 0,
+        # 1-min loadavg at trial start/end: this process's own Spark workers
+        # contribute, but a start load far above `master`'s core count (or a
+        # small-side load near 32) reads unambiguously as external
+        # interference — the self-interpretation the r4 artifact lacked
+        "loadavg_1m": [load_start, load_end],
         "state": (seen_dig, log_dig),
     }
 
@@ -455,6 +489,8 @@ def bench_crawl(tmp_root: str) -> dict:
         "trial_steady_walls_big": [
             round(t["last_round_wall_s"], 2) for t in bigs
         ],
+        "trial_loadavg_small": [t["loadavg_1m"] for t in smalls],
+        "trial_loadavg_big": [t["loadavg_1m"] for t in bigs],
     }
     return out
 
@@ -476,13 +512,20 @@ def main() -> None:
     if len(sys.argv) == 4 and sys.argv[1] == "--crawl-worker":
         _crawl_worker(sys.argv[2], sys.argv[3])
         return
-    timings, trials, total = bench_queries()
+    timings, trials, total, loads = bench_queries()
     result = {
         "metric": "headline operator suite + crawl URLs fetched+deduped/sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "query_trials": trials,
+        # suite identity: totals are only comparable across artifacts with
+        # the same (suite_version, suite) — r4's verdict flagged that the
+        # 10→13-query growth + min-of-2 protocol change made `value`
+        # apples-to-oranges vs r2 with nothing in the JSON saying so
+        "suite_version": SUITE_VERSION,
+        "suite": HEADLINE,
+        "loadavg": loads,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }
     if not os.environ.get("SPARK_GRAFT_SKIP_CRAWL_BENCH"):

@@ -711,3 +711,103 @@ FROM s JOIN e ON s.span = e.span
 WHERE NOT (s.doc_id % {EVAL_DOC_MODULUS} = 0 AND s.doc_id < {EVAL_DOC_LIMIT})
 GROUP BY s.doc_id ORDER BY s.doc_id
 """
+
+
+# Sliding-window (alignment-free) decontamination.  The grid variant above
+# hashes BOTH sides on the same non-overlapping SPAN_TOKENS grid, so a doc
+# quoting an eval item shifted by 1..SPAN_TOKENS-1 tokens hashes the quote
+# into different windows on the two sides and is missed.  The standard fix
+# is overlapping n-grams — but only the EVAL side needs stride 1: its
+# sliding windows enumerate every 8-token subsequence of the benchmark, so
+# ANY full grid window the training side cuts out of quoted text (which
+# exists whenever the quote covers ≥ 2·SPAN_TOKENS−1 consecutive tokens,
+# regardless of alignment) is guaranteed to appear in the eval set.  The
+# training side therefore stays on the strided grid — the big side's span
+# count is unchanged, and the broadcast grows only by the bounded factor
+# SPAN_TOKENS over the already-bounded eval stratum (a benchmark is a
+# fixed-size artifact by construction; see decontaminate_against_eval).
+
+# The sliding set also carries the grid's short TAIL window (the last
+# size%SPAN_TOKENS tokens) so the eval sliding-span set is a strict
+# superset of the eval grid-span set — without it a grid tail-to-tail
+# match would be a grid hit the sliding variant misses, breaking the
+# "sliding hits ⊇ grid hits" invariant pinned in tests.
+_SPARK_SPANS_SLIDING = (
+    f"case when size(t) = 0 then array()"
+    f" when size(t) <= {SPAN_TOKENS} then array(md5(concat_ws(' ', t)))"
+    f" else concat("
+    f"transform(sequence(0, size(t) - {SPAN_TOKENS}),"
+    f" i -> md5(concat_ws(' ', slice(t, i + 1, {SPAN_TOKENS})))),"
+    f" case when size(t) % {SPAN_TOKENS} = 0 then array()"
+    f" else array(md5(concat_ws(' ',"
+    f" slice(t, size(t) - size(t) % {SPAN_TOKENS} + 1,"
+    f" size(t) % {SPAN_TOKENS})))) end)"
+    " end"
+)
+_DUCK_SPANS_SLIDING = (
+    f"CASE WHEN len(w) = 0 THEN []"
+    f" WHEN len(w) <= {SPAN_TOKENS} THEN [md5(array_to_string(w, ' '))]"
+    f" ELSE list_concat("
+    f"list_transform(generate_series(0, len(w) - {SPAN_TOKENS}),"
+    f" i -> md5(array_to_string(w[i + 1 : i + {SPAN_TOKENS}], ' '))),"
+    f" CASE WHEN len(w) % {SPAN_TOKENS} = 0 THEN []"
+    f" ELSE [md5(array_to_string("
+    f"w[len(w) - len(w) % {SPAN_TOKENS} + 1 : len(w)], ' '))] END)"
+    " END"
+)
+
+
+def _doc_spans_sliding(docs: DataFrame) -> DataFrame:
+    """(doc_id, span) — one row per stride-1 SPAN_TOKENS-token window (a
+    single whole-doc window for docs shorter than SPAN_TOKENS, matching
+    the grid's behavior for short docs so short-doc quotes still align)."""
+    return docs.select(
+        "doc_id", F.expr(_SPARK_TOKENS).alias("t")
+    ).select("doc_id", F.explode(F.expr(_SPARK_SPANS_SLIDING)).alias("span"))
+
+
+def _eval_pred():
+    return (F.col("doc_id") % EVAL_DOC_MODULUS == 0) & (
+        F.col("doc_id") < EVAL_DOC_LIMIT
+    )
+
+
+def decontaminate_sliding_frames(docs: DataFrame) -> DataFrame:
+    """Core of decontaminate_sliding over an explicit documents frame
+    (doc_id, text) — used by the registry wrapper and the shifted-copy
+    fixture test.  Same plan shape as the grid variant: distinct eval
+    sliding-span set broadcast, training grid spans probed map-side, no
+    shuffle of the big side."""
+    is_eval = _eval_pred()
+    eval_spans = (
+        _doc_spans_sliding(docs.filter(is_eval)).select("span").distinct()
+    )
+    return (
+        _doc_spans(docs.filter(~is_eval))
+        .join(F.broadcast(eval_spans), "span", "inner")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_eval_hits"))
+        .orderBy("doc_id")
+    )
+
+
+def decontaminate_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment-free benchmark decontamination: flag training docs whose
+    strided grid windows hit ANY stride-1 sliding window of the eval
+    stratum.  Catches quotes at every token shift the grid variant misses
+    (tests/test_dedup.py plants a shifted copy the grid provably misses);
+    superset of the grid variant's hits by construction, still zero
+    shuffle on the training side."""
+    return decontaminate_sliding_frames(load_table(spark, sf_dir, "documents"))
+
+
+DECONTAMINATE_SLIDING_SQL = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+s AS (SELECT doc_id, unnest({_DUCK_SPANS}) AS span FROM t
+      WHERE NOT (doc_id % {EVAL_DOC_MODULUS} = 0 AND doc_id < {EVAL_DOC_LIMIT})),
+e AS (SELECT DISTINCT unnest({_DUCK_SPANS_SLIDING}) AS span FROM t
+      WHERE doc_id % {EVAL_DOC_MODULUS} = 0 AND doc_id < {EVAL_DOC_LIMIT})
+SELECT s.doc_id, COUNT(*) AS n_eval_hits
+FROM s JOIN e ON s.span = e.span
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""

@@ -198,13 +198,10 @@ def probe_ann_index(
     )
 
 
-def sim_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-contract demo of the materialized path: build the partitioned
-    index once per corpus in a deterministic scratch dir (reused across
-    invocations and processes — repeated harness runs neither rebuild nor
-    leak a new /tmp dir each call), probe it with the pinned query vector.
-    Returns the same top-k as sim_ann_lsh (same planes, same rerank) but
-    through the partition-pruned scan."""
+def _ensure_demo_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the partitioned index once per corpus in a deterministic
+    scratch dir (reused across invocations and processes — repeated
+    harness runs neither rebuild nor leak a new /tmp dir each call)."""
     import hashlib
     import os
     import tempfile
@@ -227,6 +224,15 @@ def sim_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = os.path.join(tempfile.gettempdir(), f"scs_ann_index_{tag}")
     if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
         build_ann_index(spark, sf_dir, index_dir)
+    return index_dir
+
+
+def sim_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract demo of the materialized path: probe the cached
+    partitioned index (_ensure_demo_index) with the pinned query vector.
+    Returns the same top-k as sim_ann_lsh (same planes, same rerank) but
+    through the partition-pruned scan."""
+    index_dir = _ensure_demo_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).collect()[0].embedding
     return probe_ann_index(
@@ -293,3 +299,111 @@ def sim_ann_lsh(
         .limit(TOP_K)
         .select("vec_id", "cos_sim")
     )
+
+
+# --- batched index probe ------------------------------------------------------
+#
+# A real pipeline probes millions of queries (e.g. deduping a fresh crawl
+# shard against an indexed corpus), not one pinned vector.  The batch path
+# keeps BOTH scale properties of the single probe: (1) the index side stays
+# a partition-pruned scan — the probed (table, bucket) set is collected
+# driver-side, which is SAFE AT ANY QUERY COUNT because the code space is
+# bounded by construction at L·2^k pairs (80 here), not by the number of
+# queries; (2) the per-pair work after the join is narrow (ids + doubles),
+# never a corpus shuffle.
+
+def probe_ann_index_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    hamming: int = 0,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k ANN for EVERY row of `queries` (query_id, embedding) against a
+    build_ann_index layout.  Plan: query codes are computed JVM-side with
+    the SAME bucket expressions the build side used (posexplode to one row
+    per (query, table, bucket), with optional Hamming-1 bucket expansion);
+    the distinct probed (table, bucket) set — ≤ L·2^k rows by construction,
+    independent of query count — becomes a static partition filter on the
+    index scan (PartitionFilters, plan-asserted in tests/test_similarity.py);
+    candidates come from an equi-join on (table, bucket); a (query, vec)
+    pair found in several tables is collapsed by a max-aggregate on the
+    already-computed cosine (narrow rows: two ids + a double — embeddings
+    never cross that shuffle); per-query top-k is a ranking window over the
+    same (query_id) exchange.  Returns (query_id, vec_id, cos_sim, rnk)."""
+    qb = _with_table_buckets(queries, "embedding").select(
+        F.col("query_id"),
+        F.col("embedding").alias("qv"),
+        "table",
+        "bucket",
+    )
+    if hamming >= 1:
+        # expand each probed bucket with its k Hamming-1 neighbors (the
+        # near-boundary buckets), exactly like the single-query multiprobe
+        flips = ", ".join(
+            f"bucket ^ {1 << b}" for b in range(LSH_BITS_PER_TABLE)
+        )
+        qb = qb.select(
+            "query_id",
+            "qv",
+            "table",
+            F.explode(F.expr(f"array(bucket, {flips})")).alias("bucket"),
+        ).distinct()
+    # Driver-side bounded collect: the probed pair set can never exceed the
+    # code space L·2^k (= LSH_TABLES << LSH_BITS_PER_TABLE), no matter how
+    # many queries are batched — this is a property of the geometry, not of
+    # the data.  It buys a STATIC PartitionFilters scan (no DPP needed, no
+    # full-index read even when AQE re-plans the join).
+    probed = qb.select("table", "bucket").distinct().collect()
+    assert len(probed) <= LSH_TABLES * (1 << LSH_BITS_PER_TABLE)
+    idx = spark.read.parquet(index_dir)
+    cond = F.lit(False)
+    for r in probed:
+        cond = cond | ((F.col("table") == r.table) & (F.col("bucket") == r.bucket))
+    cos = _SPARK_COS.format(a="embedding", b="qv")
+    scored = (
+        idx.filter(cond)
+        .join(qb, ["table", "bucket"])
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            if exclude_self
+            else F.lit(True)
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.expr(cos), 4).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    dedup = scored.groupBy("query_id", "vec_id").agg(
+        F.max("cos_sim").alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        dedup.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+_BATCH_QUERY_MODULUS = 37  # pinned demo query set: vec_id ≡ 0 (mod 37)
+
+
+def sim_ann_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract demo of the batched probe: every vec_id ≡ 0 (mod
+    37) vector queries the materialized index at once (deterministic set,
+    ~3% of the corpus).  Rows-only driver check (ANN is approximate);
+    tests/test_similarity.py pins per-query recall vs brute force on ≥100
+    queries and the PartitionFilters plan shape."""
+    index_dir = _ensure_demo_index(spark, sf_dir)
+    queries = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _BATCH_QUERY_MODULUS == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return probe_ann_index_batch(spark, index_dir, queries)

@@ -200,3 +200,75 @@ def test_new_pipeline_ops_plan_shapes(spark, sf_dir):
     p = plan_of(ts.text_bigrams_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in p, p[:2000]
     assert p.count("HashAggregate") >= 2, p[:2000]
+
+
+def test_decontaminate_sliding_catches_shifted_quote(spark):
+    """A training doc quoting the eval doc shifted by 3 tokens: the two
+    sides' non-overlapping grids cut the quote at different offsets, so the
+    grid variant provably misses it; the sliding variant (stride-1 eval
+    windows) must catch it.  Quote length 2*SPAN_TOKENS-1 = the minimum
+    that guarantees a full training grid window inside the quoted region
+    at any alignment."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    eval_tokens = [f"e{i}" for i in range(24)]  # doc_id 0 -> eval stratum
+    # training doc: 3 filler tokens, then a verbatim 15-token quote starting
+    # at eval position 4 (shift 4 mod 8 on the eval grid, offset 3 on its
+    # own grid — misaligned on both sides' grids)
+    quote = eval_tokens[4 : 4 + 15]
+    train_tokens = ["x0", "x1", "x2", *quote, "y0", "y1", "y2", "y3", "y4", "y5"]
+    clean_tokens = [f"z{i}" for i in range(24)]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(eval_tokens)),   # eval (0 % 8 == 0, < limit)
+            (1, " ".join(train_tokens)),  # contaminated, misaligned
+            (2, " ".join(clean_tokens)),  # clean
+        ],
+        "doc_id long, text string",
+    )
+
+    # the grid variant misses the shifted quote...
+    grid_is_eval = (F.col("doc_id") % dedup.EVAL_DOC_MODULUS == 0) & (
+        F.col("doc_id") < dedup.EVAL_DOC_LIMIT
+    )
+    spans = dedup._doc_spans(docs)
+    grid_eval = spans.filter(grid_is_eval).select("span").distinct()
+    grid_hits = (
+        spans.filter(~grid_is_eval)
+        .join(F.broadcast(grid_eval), "span", "inner")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert grid_hits == [], f"fixture not misaligned enough: {grid_hits}"
+
+    # ...the sliding variant catches exactly the contaminated doc
+    rows = dedup.decontaminate_sliding_frames(docs).collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert rows[0].n_eval_hits >= 1
+
+
+def test_decontaminate_sliding_superset_of_grid(spark):
+    """On the real corpus the sliding hit set must contain every grid hit
+    (stride-1 eval windows are a superset of the eval grid windows)."""
+    sf = "/root/testdata/sf0.001"
+    grid = {r.doc_id for r in dedup.decontaminate_against_eval(spark, sf).collect()}
+    slid = {r.doc_id for r in dedup.decontaminate_sliding(spark, sf).collect()}
+    assert grid <= slid
+
+
+def test_dedup_exact_stats_oracle(spark):
+    """dedup_exact_stats lost its driver row to the 50-key artifact cap
+    (registry.py DRIVER_QUERY_CAP); its oracle check lives here instead so
+    the component stays hash-checked even without driver-visible evidence."""
+    from tests.oracle_harness import compare, duck_connection
+
+    duck = duck_connection(SF_DIR)
+    try:
+        problems = compare(
+            dedup.dedup_exact_stats(spark, SF_DIR),
+            duck.sql(dedup.DEDUP_EXACT_STATS_SQL).df(),
+        )
+        assert not problems, problems
+    finally:
+        duck.close()
