@@ -181,6 +181,28 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
            "ост", "сти", "ени", "ние", "ать", "ть ", "тьс", "ься", " чт",
            "что", "то ", "ый ", "ий ", "ой ", "ами", " за", "ств", " ко",
            "кот", "ото", "тор", "ет ", "ова", "ая ", "ли "),
+    # Ukrainian: native Cyrillic only (Ukrainian crawls are rarely
+    # transliterated).  The closely-related-language case ru-vs-uk is where
+    # trigram profiles actually fail, so beyond the shared East-Slavic mass
+    # (" не", " на" — deliberately kept: a profile models the LANGUAGE, not
+    # its diff vs a rival) the list leans on uk-specific orthography: the
+    # vowels і/ї (absent in ru), -ння/-ення verbal nouns, -ський, від-/пі-
+    # prefixes, the є copula.  Discrimination vs ru and bg is pinned with
+    # margin ≥ 2 in tests/test_similarity.py.
+    "uk": (" не", "не ", " на", "на ", " що", "що ", " та", "та ", " ві",
+           "від", "ід ", "ів ", "ий ", "ої ", "ою ", "ння", "енн", "анн",
+           "ост", "сть", "ть ", "ати", "ити", "ува", "ють", " є ", "ськ",
+           "ько", "льн", " до", "до ", "ні ", " і ", "ії ", "їни", "аїн",
+           "ьог", "уть", "удь", "сля", "піс", " пі", " як", "як ", "яка",
+           "яку", "ані", "ові", "ті ", "ому"),
+    # Bulgarian: native Cyrillic; analytic-Slavic signature — postposed
+    # definite articles (-ът/-то/-та/-ите/-ият), the че/ще/да particles,
+    # and the ъ vowel ru/uk lack entirely.
+    "bg": (" на", "на ", " да", "да ", " се", "се ", " е ", "то ", "та ",
+           "ата", "ите", "те ", "ият", "ото", " съ", "със", "ъв ", "ът ",
+           "ърж", " въ", "ва ", "ане", "ние", "ия ", " пр", "при", "про",
+           " ко", "кои", "ойт", "ито", "еше", " бе", "ано", " че", "че ",
+           " ще", "ще ", "ъда", "дат", "ато", "кат", " ка", "ван", "ани"),
 }
 
 # reliability gate for the confidence column: a prediction is flagged
@@ -200,9 +222,9 @@ _RELIABLE_MIN_MARGIN = 2
 # flip) and a fraction of the prefix.  Precedence within CJK is pinned:
 # Hangul → ko; kana → ja (kana is uniquely Japanese and Japanese prose
 # always carries it, which is what separates ja from Han-only zh); Han → zh.
-# Cyrillic needs no script override — the ru profile carries native
-# trigrams, so the ordinary scorer handles it (and stays extensible to
-# uk/bg by adding profiles rather than a script rule).
+# Cyrillic needs no script override — the ru/uk/bg profiles carry native
+# trigrams, so the ordinary scorer handles (and discriminates between)
+# Cyrillic languages where a script rule never could.
 _SCRIPT_PATTERNS: tuple[tuple[str, str, str], ...] = (
     # (script key, predicted lang, character-class regex); precedence order
     ("hangul", "ko", "[\\uac00-\\ud7af]"),
@@ -214,10 +236,16 @@ _SCRIPT_MIN_FRACTION = 0.1  # of non-space prefix characters
 
 # first 1000 chars are ample signal; bounds per-row HOF cost on huge docs
 _LANGID_PREFIX = 1000
-_LANGID_NORM = (
-    "concat(' ', regexp_replace(lower(substring(coalesce(text, ''), 1,"
-    f" {_LANGID_PREFIX})), '\\\\s+', ' '), ' ')"
-)
+
+
+def _langid_norm_expr(text_col: str) -> str:
+    return (
+        f"concat(' ', regexp_replace(lower(substring(coalesce({text_col}, ''),"
+        f" 1, {_LANGID_PREFIX})), '\\\\s+', ' '), ' ')"
+    )
+
+
+_LANGID_NORM = _langid_norm_expr("text")
 # NB Spark's sequence(1, 0) is DESCENDING [1, 0], never empty — short texts
 # need the explicit guard.  Two-step projection (normalized string first,
 # trigrams from the `nt` column) so the regex/lower pipeline runs once per
@@ -231,25 +259,29 @@ _LANGID_TRIGRAMS_FROM_NT = """
 """
 
 
-def langid_scores(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) → (doc_id, pred_lang, n_hits, margin, is_reliable):
-    script-count layer first (native CJK — see _SCRIPT_PATTERNS), then
-    occurrence count of each language profile's trigrams over the
-    normalized text prefix, argmax with a pinned tie-break (profile dict
-    order), 'und' on zero hits everywhere.  For trigram calls margin =
-    winner hits − runner-up hits; for script calls n_hits = chars of the
-    winning script and margin = that count − the strongest competing signal
-    (other scripts or best trigram score), so one is_reliable contract —
-    enough absolute signal AND clear of the runner-up — covers both layers.
-    Pure column expressions — map-only, fully codegen'd."""
-    normed = docs.select("doc_id", F.expr(_LANGID_NORM).alias("nt"))
+def _langid_decide(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
+    """Core scorer: `keep` columns + (pred_lang, n_hits, margin,
+    is_reliable) from `text_col`.  Script-count layer first (native CJK —
+    see _SCRIPT_PATTERNS), then occurrence count of each language
+    profile's trigrams over the normalized text prefix, argmax with a
+    pinned tie-break (profile dict order), 'und' on zero hits everywhere.
+    For trigram calls margin = winner hits − runner-up hits; for script
+    calls n_hits = chars of the winning script and margin = that count −
+    the strongest competing signal (other scripts or best trigram score),
+    so one is_reliable contract — enough absolute signal AND clear of the
+    runner-up — covers both layers.  Pure column expressions — map-only,
+    fully codegen'd; `keep` columns (including binaries) ride the
+    projections untouched."""
+    # temp column names guarded against collision with carried columns
+    assert "nt" not in keep and "tg" not in keep
+    normed = df.select(*keep, F.expr(_langid_norm_expr(text_col)).alias("nt"))
     script_counts = [
         (F.length("nt") - F.length(F.regexp_replace(F.col("nt"), pat, "")))
         .alias(f"sc_{key}")
         for key, _lang, pat in _SCRIPT_PATTERNS
     ]
     base = normed.select(
-        "doc_id",
+        *keep,
         F.expr(_LANGID_TRIGRAMS_FROM_NT).alias("tg"),
         F.length(F.regexp_replace(F.col("nt"), " ", "")).alias("n_chars"),
         *script_counts,
@@ -262,7 +294,7 @@ def langid_scores(docs: DataFrame) -> DataFrame:
     ]
     skeys = [key for key, _lang, _pat in _SCRIPT_PATTERNS]
     scored = base.select(
-        "doc_id", "n_chars", *[F.col(f"sc_{k}") for k in skeys], *score_cols
+        *keep, "n_chars", *[F.col(f"sc_{k}") for k in skeys], *score_cols
     )
     langs = list(LANG_TRIGRAMS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
@@ -309,9 +341,9 @@ def langid_scores(docs: DataFrame) -> DataFrame:
     decision = decision.otherwise(
         F.struct(pred.alias("p"), best.alias("h"), (best - second).alias("m"))
     )
-    d = scored.select("doc_id", decision.alias("d"))
+    d = scored.select(*keep, decision.alias("d"))
     return d.select(
-        "doc_id",
+        *keep,
         F.col("d.p").alias("pred_lang"),
         F.col("d.h").alias("n_hits"),
         F.col("d.m").alias("margin"),
@@ -319,6 +351,30 @@ def langid_scores(docs: DataFrame) -> DataFrame:
             (F.col("d.h") >= _RELIABLE_MIN_HITS)
             & (F.col("d.m") >= _RELIABLE_MIN_MARGIN)
         ).alias("is_reliable"),
+    )
+
+
+def langid_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, pred_lang, n_hits, margin, is_reliable) —
+    see _langid_decide for the decision contract."""
+    return _langid_decide(docs, "text", ["doc_id"])
+
+
+def annotate_lang(
+    df: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Ingest-path language annotation: every original column plus
+    `lang_col` = the langid call when is_reliable, else NULL (downstream
+    per-language budgeting must never act on noise-floor calls; NULL is
+    honest where 'und'-vs-unreliable would conflate two meanings).  A
+    pre-existing `lang_col` is REPLACED — this is the writer of record for
+    that column on WARC/crawl ingest.  Map-only column expressions: at
+    100 TB this adds zero shuffles to whatever plan carries it."""
+    keep = [c for c in df.columns if c != lang_col]
+    scored = _langid_decide(df, text_col, keep)
+    return scored.select(
+        *keep,
+        F.when(F.col("is_reliable"), F.col("pred_lang")).alias(lang_col),
     )
 
 

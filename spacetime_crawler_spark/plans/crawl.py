@@ -72,6 +72,15 @@ class CrawlConfig:
     # rewrite `seen` as one compacted snapshot every K rounds so readers
     # union ≤K+1 files instead of O(rounds); 0 disables compaction
     seen_compact_every: int = 8
+    # annotate fetch_log with a `lang` column (reliable-only langid over the
+    # F9-extracted text) so per-language budgeting/sampling runs over crawl
+    # output directly.  Map-only column exprs riding the existing extract
+    # projection — no extra shuffle or parse — but it is real per-row work
+    # (~70 trigram set-probes over a 1000-char prefix), so it is opt-in:
+    # the benchmarked crawl keeps its round-over-round comparable workload,
+    # and ingest pipelines that want lang at the source use
+    # read_warc_pages(extract_text=True) instead
+    annotate_lang: bool = False
 
 
 @dataclass
@@ -424,7 +433,25 @@ def run_crawl(
             F.when(F.col("status") == 200, F.col("page.links"))
             .otherwise(F.array().cast("array<string>"))
             .alias("links"),
-        ).persist()
+            *(
+                [F.when(F.col("status") == 200, F.col("page.text"))
+                 .alias("__ltext")]
+                if cfg.annotate_lang else []
+            ),
+        )
+        if cfg.annotate_lang:
+            # reliable-only langid over the just-extracted text, then drop
+            # the text again — lang rides the same projection stage as the
+            # extract UDF (map-only; the persisted cache stores one extra
+            # string column, never the text itself)
+            from spacetime_crawler_spark.operators.textstats import (
+                annotate_lang as _annotate_lang,
+            )
+
+            enriched = _annotate_lang(
+                enriched, text_col="__ltext", lang_col="lang"
+            ).drop("__ltext")
+        enriched = enriched.persist()
 
         fetch_log = enriched.select(
             F.lit(rnd).alias("round"),
@@ -438,6 +465,7 @@ def run_crawl(
             "status",
             "text_sha256",
             "content_len",
+            *(["lang"] if cfg.annotate_lang else []),
         )
         # both counts ride the write action as observed metrics (zero extra
         # jobs — no lineage recompute, no read-back)

@@ -53,6 +53,35 @@ def subdomain_histogram(fetch_log: DataFrame) -> DataFrame:
     )
 
 
+def language_histogram(
+    fetch_log: DataFrame, pages_latest: DataFrame
+) -> DataFrame:
+    """Per-language page counts over the crawled set — the rollup the
+    per-language budget / stratified-sample operators key on.  Prefers the
+    fetch_log's own `lang` column when the crawl ran with
+    CrawlConfig.annotate_lang; otherwise recomputes text through the F9
+    UDF (byte-identical by the engine invariant) and annotates here.
+    NULL lang (unreliable call) groups as 'und' so the histogram always
+    partitions the fetched set.  Shuffle carries one row per language."""
+    from spacetime_crawler_spark.operators.textstats import annotate_lang
+
+    if "lang" in fetch_log.columns:
+        tagged = (
+            fetch_log.filter(F.col("status") == 200)
+            .select("url_norm", "lang")
+            .distinct()
+        )
+    else:
+        tagged = annotate_lang(
+            _fetched_pages(fetch_log, pages_latest), text_col="text"
+        ).select("url_norm", "lang")
+    return (
+        tagged.groupBy(F.coalesce(F.col("lang"), F.lit("und")).alias("lang"))
+        .agg(F.count("*").alias("n_pages"))
+        .orderBy("lang")
+    )
+
+
 def longest_page(fetch_log: DataFrame, pages_latest: DataFrame) -> DataFrame:
     """A3 — url with the most words (ties → lexicographically first url)."""
     counted = _fetched_pages(fetch_log, pages_latest).select(

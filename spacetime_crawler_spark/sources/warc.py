@@ -42,6 +42,38 @@ from spacetime_crawler_spark.sources.synth import PAGES_SCHEMA_DDL
 
 _MARKER = b"WARC/1."
 
+# binaryFile materializes each WARC as ONE row, and Spark's binary column
+# (Arrow offsets, too) caps at 2 GiB — an oversize file today surfaces as
+# an opaque Arrow/OOM failure deep in a task.  Guard at a configurable
+# bound BELOW that ceiling and fail with the file named.  Memory envelope
+# per task: compressed size + decompressed size; Common-Crawl-style text
+# WARCs decompress ~4-5×, so the 1.25 GiB default implies a ~6-7 GiB peak
+# per concurrently-parsing task — size executor memory (or lower the
+# bound) accordingly.  Real CC segments are ~1 GiB compressed and pass.
+WARC_MAX_COMPRESSED_BYTES = 1_342_177_280  # 1.25 GiB
+
+
+def _check_file_sizes(raw: DataFrame, max_bytes: int) -> None:
+    """Metadata-only pre-check (the `content` column is pruned from this
+    scan): list any over-bound files and raise a clear error naming them,
+    instead of letting the content scan die in Arrow."""
+    from pyspark.sql import functions as F
+
+    offenders = (
+        raw.select("path", "length")
+        .filter(F.col("length") > max_bytes)
+        .limit(5)
+        .collect()
+    )
+    if offenders:
+        names = ", ".join(f"{r.path} ({r.length} B)" for r in offenders)
+        raise ValueError(
+            f"WARC file(s) exceed max_compressed_bytes={max_bytes}: {names}"
+            " — split the file (e.g. with standard WARC segmenting) or"
+            " raise the bound; note the per-task memory envelope is"
+            " compressed + decompressed size (see sources/warc.py)."
+        )
+
 
 def _decompress(data: bytes) -> bytes:
     """gzip bytes → raw WARC bytes.  stdlib gzip.decompress already
@@ -136,10 +168,30 @@ def _parse_response(headers: dict[str, str], payload: bytes):
     return url, ts, html
 
 
-def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+def read_warc_pages(
+    spark: SparkSession,
+    path: str,
+    extract_text: bool = False,
+    max_compressed_bytes: int = WARC_MAX_COMPRESSED_BYTES,
+) -> DataFrame:
     """WARC file(s) at `path` (glob ok; plain or per-record-gzip) → pages
-    DataFrame in the canonical schema, one parse task per file."""
-    raw = spark.read.format("binaryFile").load(path).select("content")
+    DataFrame in the canonical schema, one parse task per file.  Files
+    over `max_compressed_bytes` fail fast with a clear error (see
+    _check_file_sizes for the memory envelope).
+
+    extract_text=True is the ingest-time enrichment path: `text` is filled
+    by the pinned F9 extractor (operators/udfs.text_extract_udf — byte-
+    identical to what the crawl loop computes) and `lang` by the reliable-
+    only langid annotator (operators/textstats.annotate_lang), so the
+    per-language budget / stratified-sample operators can run directly
+    over ingested Common-Crawl pages without a crawl pass.  Both additions
+    are map-only (Arrow UDF + column expressions) — the scan stays one
+    task per WARC file with no shuffle.  Default False: the crawl engine
+    does its own (fused) extraction, and ingest-for-crawl should not pay
+    the parse twice."""
+    listed = spark.read.format("binaryFile").load(path)
+    _check_file_sizes(listed, max_compressed_bytes)
+    raw = listed.select("content")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -159,4 +211,13 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
                         columns=["url", "warc_ts", "html", "text", "lang"],
                     )
 
-    return raw.mapInPandas(gen, schema=PAGES_SCHEMA_DDL)
+    pages = raw.mapInPandas(gen, schema=PAGES_SCHEMA_DDL)
+    if not extract_text:
+        return pages
+    from pyspark.sql import functions as F
+
+    from spacetime_crawler_spark.operators.textstats import annotate_lang
+    from spacetime_crawler_spark.operators.udfs import text_extract_udf
+
+    pages = pages.withColumn("text", text_extract_udf(F.col("html")))
+    return annotate_lang(pages, text_col="text", lang_col="lang")

@@ -349,3 +349,42 @@ def test_batch_probe_recall_and_pruning(spark, tmp_path):
             ).collect()
         ]
         assert by_q[qid] == single, (qid, by_q[qid], single)
+
+
+def test_langid_cyrillic_confusion(spark):
+    """ru vs uk vs bg — the closely-related-language case where trigram
+    profiles actually fail.  Nine snippets (three per language, parallel
+    content so shared East-Slavic trigrams fire on all of them) must each
+    resolve to their own language with margin ≥ 2 over the runner-up, and
+    the transliterated-Russian path must survive the new Cyrillic
+    profiles unchanged."""
+    pdf = [
+        (1, "ru", "в этом году мы не могли получить ответ на вопрос"
+            " который был задан"),
+        (2, "ru", "правительство заявило что новые законы вступят в силу"
+            " после того как будут опубликованы"),
+        (3, "ru", "она читала книгу которую купила на прошлой неделе"
+            " в небольшом магазине"),
+        (4, "uk", "у цьому році ми не могли отримати відповідь на питання"
+            " яке було задано"),
+        (5, "uk", "уряд заявив що нові закони набудуть чинності після того"
+            " як будуть опубліковані"),
+        (6, "uk", "вона читала книгу яку купила минулого тижня"
+            " в невеликому магазині"),
+        (7, "bg", "тази година не можахме да получим отговор на въпроса"
+            " който беше зададен"),
+        (8, "bg", "правителството заяви че новите закони ще влязат в сила"
+            " след като бъдат публикувани"),
+        (9, "bg", "тя четеше книгата която купи миналата седмица"
+            " в малък магазин"),
+        (10, "ru", "kogda my prishli v etot gorod my uvideli bolshuju"
+             " ploshchad kotoraja byla ukrashena starymi domami"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, _l, t in pdf], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in textstats.langid_scores(df).collect()}
+    for i, expect, _t in pdf:
+        r = got[i]
+        assert r.pred_lang == expect, (i, expect, r)
+        assert r.margin >= 2, (i, r)

@@ -157,3 +157,133 @@ def test_warc_framing_adversarial():
     (_, _, html), = [w._parse_response(h, p)
                      for h, p in w._split_records(one)]
     assert html == b"<b>x</b>"
+
+
+_LANG_SENTENCES = [
+    ("en", "while walking through the old town we found the house where"
+           " the writer was born and worked for many years"),
+    ("es", "cuando llegamos a la ciudad encontramos una plaza hermosa del"
+           " siglo pasado con muchas personas"),
+    ("de", "während die kinder durch den wald gingen und leise lieder"
+           " sangen kamen sie an einen bach"),
+    ("fr", "les enfants marchaient dans la rue et chantaient une chanson"
+           " douce pendant que la pluie tombait"),
+    ("ru", "когда мы пришли в этот город мы увидели большую площадь"
+           " которая была украшена старыми домами"),
+    ("uk", "уряд заявив що нові закони набудуть чинності після того як"
+           " будуть опубліковані"),
+    ("bg", "правителството заяви че новите закони ще влязат в сила след"
+           " като бъдат публикувани"),
+    (None, "qq vv kk"),  # below every profile's noise floor → NULL lang
+]
+
+
+def _multilingual_pages(spark):
+    """tiny synth world with html payloads swapped for multilingual bodies
+    (urls/hosts/timestamps keep the synth structure the crawl relies on)."""
+    p = synth.world("tiny", n_pages=120)
+    rows = synth.generate_pages_df(spark, p).select(
+        "url", "warc_ts"
+    ).collect()
+    out, expected = [], {}
+    for i, r in enumerate(rows):
+        lang, sent = _LANG_SENTENCES[i % len(_LANG_SENTENCES)]
+        html = f"<html><body><p>{sent} item {i}</p></body></html>".encode()
+        out.append((r.url, r.warc_ts, html))
+        # key by (url, ts): the synth world has multiple captures per url
+        expected[(r.url, r.warc_ts)] = lang
+    return p, out, expected
+
+
+def test_warc_ingest_extract_text_populates_lang(spark, tmp_path):
+    """VERDICT r4 'what's missing #2': read_warc_pages(extract_text=True)
+    must fill text (byte-identical to the pinned F9 extractor) and lang
+    (reliable-only langid) at ingest — map-only, no crawl pass needed."""
+    from spacetime_crawler_spark.functions.textextract import extract_text
+
+    _, rows, expected = _multilingual_pages(spark)
+    d = tmp_path / "cc"
+    os.makedirs(d)
+    (d / "seg.warc.gz").write_bytes(_warc_bytes(rows, gzip_members=True))
+
+    got = warc.read_warc_pages(spark, str(d), extract_text=True).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        assert r.text == extract_text(bytes(r.html)), r.url
+        assert r.lang == expected[(r.url, r.warc_ts)], (r.url, r.lang, r.text)
+    # default path unchanged: no parse, NULL text/lang
+    raw = warc.read_warc_pages(spark, str(d)).collect()
+    assert all(r.text is None and r.lang is None for r in raw)
+
+
+def test_crawl_annotate_lang_and_language_histogram(spark, tmp_path):
+    """CrawlConfig.annotate_lang wires langid into the crawl loop: a crawl
+    over a multilingual WARC yields a lang-populated fetch_log that equals
+    reliable-langid over the same (re-extracted) text, and the per-language
+    crawl report agrees between its fast path (fetch_log.lang) and its
+    recompute path (F9 + annotate over pages)."""
+    from spacetime_crawler_spark.operators.textstats import annotate_lang
+    from spacetime_crawler_spark.plans import crawl_reports
+    from spacetime_crawler_spark.plans.crawl import prepare_pages
+
+    p, rows, expected = _multilingual_pages(spark)
+    d = tmp_path / "cc"
+    os.makedirs(d)
+    (d / "seg.warc.gz").write_bytes(_warc_bytes(rows, gzip_members=True))
+    pages = warc.read_warc_pages(spark, str(d))
+    # spread seeds so the politeness-bounded fetch set spans many hosts —
+    # the 8-sentence cycle then guarantees language diversity in the log
+    seeds = synth.spread_seed_urls(p, n_seeds=60)
+
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "s"), rounds=2, round_budget_s=8.0,
+        annotate_lang=True,
+    )
+    run = run_crawl(spark, pages, seeds, cfg)
+    log = crawl_mod.read_fetch_log(spark, run.io, run.rounds_run)
+    assert "lang" in log.columns
+    fetched = log.filter(F.col("status") == 200)
+    assert fetched.count() > 0
+
+    # fetch_log.lang ≡ reliable langid over the same page text
+    pages_latest = prepare_pages(spark, pages).persist()
+    want = {
+        r.url_norm: r.lang
+        for r in annotate_lang(
+            crawl_reports._fetched_pages(log, pages_latest), text_col="text"
+        ).collect()
+    }
+    got = {r.url_norm: r.lang for r in fetched.select("url_norm", "lang").collect()}
+    assert got == want
+    # the fixture really exercises multiple languages + the NULL case
+    assert len({v for v in got.values() if v is not None}) >= 4
+    assert None in got.values()
+
+    # report: fast path (lang column) ≡ recompute path (drop the column)
+    fast = {(r.lang, r.n_pages) for r in
+            crawl_reports.language_histogram(log, pages_latest).collect()}
+    slow = {(r.lang, r.n_pages) for r in
+            crawl_reports.language_histogram(
+                log.drop("lang"), pages_latest
+            ).collect()}
+    assert fast == slow and len(fast) >= 4
+    pages_latest.unpersist()
+
+
+def test_warc_oversize_file_guard(spark, tmp_path):
+    """A file over the compressed-size bound must fail fast with the file
+    NAMED — not an opaque Arrow/OOM error mid-scan.  (binaryFile's binary
+    column caps at 2 GiB; the guard reads only file metadata.)"""
+    import pytest
+
+    d = tmp_path / "cc"
+    os.makedirs(d)
+    rows = [(f"http://h.example.com/{i}",
+             __import__("datetime").datetime(2024, 1, 1),
+             b"<html><body>x</body></html>") for i in range(3)]
+    (d / "seg.warc").write_bytes(_warc_bytes(rows))
+
+    with pytest.raises(ValueError, match="seg.warc"):
+        warc.read_warc_pages(spark, str(d), max_compressed_bytes=64)
+    # at the default bound the same directory reads fine
+    assert len(warc.read_warc_pages(spark, str(d)).collect()) == 3
