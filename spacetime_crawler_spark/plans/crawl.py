@@ -179,6 +179,7 @@ def fetch_join_round(
     page_keys: DataFrame,
     selected: DataFrame,
     broadcast_selected: bool = True,
+    extra_meta: tuple[str, ...] = (),
 ) -> DataFrame:
     """F5 with an adaptive physical strategy, html never in a shuffle KEY:
 
@@ -193,6 +194,8 @@ def fetch_join_round(
 
     broadcast_selected=True (small selected set — the common case): steps
     1/3/4 broadcast the small side, so html NEVER enters any exchange.
+    `extra_meta` names additional columns of `selected` to carry through
+    both branches (e.g. the streaming fetch stage's sched_round).
 
     broadcast_selected=False (10^10-tier rounds where the selected set
     exceeds broadcast size): steps 1/3/4 become shuffled hash joins on
@@ -203,7 +206,7 @@ def fetch_join_round(
     carries the whole table.  (With Iceberg `bucket(P, url)` layout both
     joins become storage-co-partitioned and the exchange disappears.)"""
     meta_cols = ["host", "url_norm", "url_hash", "h2", "depth",
-                 "fetch_seq", "due_s", "crawl_delay"]
+                 "fetch_seq", "due_s", "crawl_delay", *extra_meta]
 
     def _small(df: DataFrame) -> DataFrame:
         # broadcast when allowed, else prefer a shuffled hash join with this
@@ -242,6 +245,52 @@ def fetch_join_round(
         .withColumn("status", F.lit(404))
     )
     return fetched_ok.unionByName(missing)
+
+
+def extract_fetched(
+    fetched: DataFrame,
+    annotate_lang: bool = False,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """F8+F9 enrichment over fetch_join_round output — THE pinned shape of
+    a fetch record, shared by the batch loop and the streaming fetch stage
+    so the two paths cannot drift: one fused parse per page yields
+    (..., status, text_sha256, content_len, links[, lang]); html is
+    dropped here and never persisted downstream.  `extra_cols` names
+    pass-through columns (e.g. sched_round)."""
+    out = fetched.withColumn(
+        "page", page_extract_udf("html", "url_norm")
+    ).select(
+        "host", "url_norm", "url_hash", "depth", "fetch_seq", "due_s",
+        *extra_cols,
+        "status",
+        F.when(F.col("status") == 200, F.sha2(F.col("page.text"), 256))
+        .alias("text_sha256"),
+        F.when(F.col("status") == 200, F.length("html"))
+        .otherwise(F.lit(0))
+        .alias("content_len"),
+        F.when(F.col("status") == 200, F.col("page.links"))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("links"),
+        *(
+            [F.when(F.col("status") == 200, F.col("page.text"))
+             .alias("__ltext")]
+            if annotate_lang else []
+        ),
+    )
+    if annotate_lang:
+        # reliable-only langid over the just-extracted text, then drop the
+        # text again — lang rides the same projection stage as the extract
+        # UDF (map-only; downstream caches store one extra string column,
+        # never the text itself)
+        from spacetime_crawler_spark.operators.textstats import (
+            annotate_lang as _annotate_lang,
+        )
+
+        out = _annotate_lang(out, text_col="__ltext", lang_col="lang").drop(
+            "__ltext"
+        )
+    return out
 
 
 def init_frontier(spark: SparkSession, seeds: list[str],
@@ -420,38 +469,9 @@ def run_crawl(
         # F8+F9 fused — ONE parse per page produces text AND links; persisted
         # WITHOUT the html payload so both downstream consumers (lineage sink,
         # candidate pipeline) reuse the single Python pass.
-        enriched = fetched.withColumn(
-            "page", page_extract_udf("html", "url_norm")
-        ).select(
-            "host", "url_norm", "url_hash", "depth", "fetch_seq", "due_s",
-            "status",
-            F.when(F.col("status") == 200, F.sha2(F.col("page.text"), 256))
-            .alias("text_sha256"),
-            F.when(F.col("status") == 200, F.length("html"))
-            .otherwise(F.lit(0))
-            .alias("content_len"),
-            F.when(F.col("status") == 200, F.col("page.links"))
-            .otherwise(F.array().cast("array<string>"))
-            .alias("links"),
-            *(
-                [F.when(F.col("status") == 200, F.col("page.text"))
-                 .alias("__ltext")]
-                if cfg.annotate_lang else []
-            ),
-        )
-        if cfg.annotate_lang:
-            # reliable-only langid over the just-extracted text, then drop
-            # the text again — lang rides the same projection stage as the
-            # extract UDF (map-only; the persisted cache stores one extra
-            # string column, never the text itself)
-            from spacetime_crawler_spark.operators.textstats import (
-                annotate_lang as _annotate_lang,
-            )
-
-            enriched = _annotate_lang(
-                enriched, text_col="__ltext", lang_col="lang"
-            ).drop("__ltext")
-        enriched = enriched.persist()
+        enriched = extract_fetched(
+            fetched, annotate_lang=cfg.annotate_lang
+        ).persist()
 
         fetch_log = enriched.select(
             F.lit(rnd).alias("round"),

@@ -270,3 +270,64 @@ def streaming_fetch_metrics(spark: SparkSession, fetch_log_dir: str) -> DataFram
             "n_ok",
         )
     )
+
+
+# --- the fetch stage: closing the streaming crawl loop ------------------------
+
+
+def streaming_fetch_stage(
+    spark: SparkSession,
+    pages: DataFrame,
+    schedule_stream: DataFrame,
+    fetch_log_dir: str,
+    checkpoint_dir: str,
+    broadcast_selected: bool = True,
+):
+    """dedup → schedule → **fetch → log**: the stage that closes the
+    streaming crawl loop.  Each micro-batch of scheduled rows (the
+    streaming_politeness_schedule output) is joined against the STATIC
+    pages table through the batch engine's own fetch_join_round (html
+    never in a shuffle key; broadcast or shuffled-hash exactly like a
+    batch round) and enriched through the SAME pinned extract_fetched
+    shape, then appended to a fetch_log parquet sink with
+    round = sched_round.  foreachBatch is the correct topology here — a
+    stream-static join with an arbitrary-stateful upstream and a
+    fan-out UDF belongs in a micro-batch callback, which also gives the
+    sink per-batch atomicity (Spark's parquet-sink commit protocol).
+    Returns the started StreamingQuery; callers awaitTermination.
+
+    Differential contract (tests/test_streaming.py): this three-stage
+    chain over one trigger of candidates equals ONE BATCH ROUND of the
+    engine — same admission, same schedule, same fetch statuses, same
+    text sha256 per url."""
+    from spacetime_crawler_spark.plans.crawl import (
+        extract_fetched,
+        fetch_join_round,
+        prepare_page_keys,
+    )
+
+    page_keys = prepare_page_keys(spark, pages)
+
+    def _sink(batch_df, _batch_id):
+        if not batch_df.take(1):
+            return
+        selected = batch_df.withColumn("h2", F.hash("url_norm"))
+        fetched = fetch_join_round(
+            spark, pages, page_keys, selected,
+            broadcast_selected=broadcast_selected,
+            extra_meta=("sched_round",),
+        )
+        log = extract_fetched(fetched, extra_cols=("sched_round",)).select(
+            F.col("sched_round").alias("round"),
+            F.spark_partition_id().alias("part_id"),
+            "host", "url_norm", "url_hash", "depth", "fetch_seq", "due_s",
+            "status", "text_sha256", "content_len",
+        )
+        log.write.mode("append").parquet(fetch_log_dir)
+
+    return (
+        schedule_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -494,3 +494,131 @@ def test_streaming_dedup_on_rocksdb_state_store(spark, tmp_path):
             )
     got = [r.url_norm for r in out]
     assert len(got) == len(set(got)) == 225  # exact dedup on RocksDB state
+
+
+def test_streaming_full_round_equals_batch_round(spark, tmp_path):
+    """The CLOSED loop — candidate stream → urlseen dedup → politeness
+    schedule → fetch stage (stream-static join vs the pages table) →
+    fetch_log sink — must equal one batch round built from the same
+    primitives: python-set admission, schedule_round, fetch_join_round,
+    extract_fetched.  Compares the full fetch record including status
+    (a planted never-captured URL exercises the 404 branch) and the
+    byte-identity sha of the extracted text."""
+    import time
+
+    from spacetime_crawler_spark.operators.politeness import schedule_round
+    from spacetime_crawler_spark.plans.crawl import (
+        extract_fetched,
+        fetch_join_round,
+        prepare_page_keys,
+    )
+    from spacetime_crawler_spark.sources import synth
+
+    BUDGET = 6.0
+    p = synth.world("tiny", n_pages=120)
+    pages = synth.generate_pages_df(spark, p).persist()
+
+    # candidates: canonicalized urls of real captures across several hosts
+    # (+ dupes the dedup stage must drop + one miss for the 404 branch)
+    from spacetime_crawler_spark.operators.udfs import canonicalize_udf
+
+    base = (
+        pages.select("url").distinct().limit(40)
+        .withColumn("url_norm", canonicalize_udf("url"))
+        .select("url_norm").distinct()
+        .withColumn("host", F.lower(F.parse_url("url_norm", F.lit("HOST"))))
+        .collect()
+    )
+    cand = [(r.host, r.url_norm) for r in base]
+    cand.append(("missing.example.com", "http://missing.example.com/nope"))
+    cand += cand[:5]  # re-announcements
+    delays = {h: (1.0 if i % 2 == 0 else 2.0)
+              for i, h in enumerate(sorted({h for h, _ in cand}))}
+
+    def as_df(rows):
+        return (
+            spark.createDataFrame(rows, "host string, url_norm string")
+            .withColumn("depth", F.lit(0))
+            .withColumn(
+                "crawl_delay",
+                F.expr(
+                    "CASE " + " ".join(
+                        f"WHEN host = '{h}' THEN CAST({d} AS DOUBLE)"
+                        for h, d in delays.items()
+                    ) + " END"
+                ),
+            )
+            .withColumn("url_hash", F.xxhash64("url_norm"))
+            .withColumn("bucket", F.pmod("url_hash", F.lit(8)).cast("int"))
+            .select("url_norm", "url_hash", "bucket", "host", "depth",
+                    "crawl_delay")
+        )
+
+    cand_df = as_df(cand)
+
+    # --- batch reference round
+    page_keys = prepare_page_keys(spark, pages)
+    fresh = cand_df.dropDuplicates(["url_norm"])
+    frontier = fresh.withColumn("h2", F.hash("url_norm")).select(
+        "url_norm", "url_hash", "h2", "host", "depth", "crawl_delay"
+    )
+    selected = schedule_round(frontier, BUDGET).persist()
+    ref = extract_fetched(
+        fetch_join_round(spark, pages, page_keys, selected)
+    ).collect()
+    ref_rows = sorted(
+        (r.host, r.url_norm, r.fetch_seq, r.due_s, r.status, r.text_sha256,
+         r.content_len)
+        for r in ref
+    )
+    assert any(r[4] == 404 for r in ref_rows)  # the planted miss
+
+    # --- streaming chain (one trigger per stage → sched_round == 1)
+    src = str(tmp_path / "src")
+    inter = str(tmp_path / "inter")
+    log_dir = str(tmp_path / "log")
+    os.makedirs(src)
+    os.makedirs(inter)
+    cand_df.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.2)
+
+    COLS = (
+        "url_norm string, url_hash bigint, bucket int, host string,"
+        " depth int, crawl_delay double"
+    )
+    stage1 = fs.streaming_urlseen_dedup(
+        spark.readStream.schema(COLS).parquet(src)
+    )
+
+    def sink(df, _bid):
+        if df.count():
+            df.coalesce(1).write.mode("append").parquet(inter)
+
+    q1 = (
+        stage1.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+
+    stage2 = fs.streaming_politeness_schedule(
+        spark.readStream.schema(COLS).parquet(inter)
+        .select("host", "url_norm", "url_hash", "depth", "crawl_delay"),
+        BUDGET,
+    )
+    q2 = fs.streaming_fetch_stage(
+        spark, pages, stage2, log_dir, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(180)
+
+    got = spark.read.parquet(log_dir).collect()
+    got_rows = sorted(
+        (r.host, r.url_norm, r.fetch_seq, r.due_s, r.status, r.text_sha256,
+         r.content_len)
+        for r in got
+    )
+    assert all(r.round == 1 for r in got)
+    assert got_rows == ref_rows
+    pages.unpersist()
+    selected.unpersist()
