@@ -51,13 +51,16 @@ CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_CRAWL_SEEDS", "100000"))
 SMALL_CPUS = int(os.environ.get("SPARK_GRAFT_CRAWL_CORES_SMALL", "1"))
 BIG_CPUS = SMALL_CPUS * 4
 
-# The 13-query suite is pinned for cross-round comparability (r4 set the
-# min-of-2 protocol and this membership; both are recorded in the artifact
-# as suite/suite_version so a reader never compares totals across protocol
-# changes).  dedup_exact_stats left the driver registry in r5 (50-row
-# artifact cap — registry.py DRIVER_QUERY_CAP) but stays in the suite via
-# the bench-local resolver below, keeping the timed set identical to r4.
-SUITE_VERSION = 2  # 1 = single-shot 10-query (r1-r3); 2 = min-of-2 13-query
+# The suite membership is pinned per SUITE_VERSION for cross-round
+# comparability (r4 set the min-of-2 protocol; membership and version are
+# recorded in the artifact so a reader never compares totals across
+# protocol changes).  dedup_exact_stats left the driver registry in r5
+# (50-row artifact cap — registry.py DRIVER_QUERY_CAP) but stays in the
+# suite via the bench-local resolver below.
+# 1 = single-shot 10-query (r1-r3); 2 = min-of-2 13-query (r4);
+# 3 = r4's set + text_repetition_stats (r5) — totals compare only within a
+# version, per-query minima compare across any version
+SUITE_VERSION = 3
 HEADLINE = [
     "a4_common_words",
     "a6_host_link_graph",
@@ -71,6 +74,7 @@ HEADLINE = [
     "sim_ann_multiprobe",
     "text_quality_score",
     "text_bigrams_topk",
+    "text_repetition_stats",
     "multimodal_binary_meta",
 ]
 

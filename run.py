@@ -44,6 +44,9 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true",
                     help="resume from last committed round")
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--cdx", metavar="DIR", default=None,
+                    help="after the crawl, write a SURT-sorted CDX capture"
+                         " index of the fetch_log to DIR (plans/cdx.py)")
     ap.add_argument("--iceberg", metavar="CATALOG.NAMESPACE", default=None,
                     help="store state in Iceberg tables (requires"
                          " iceberg-spark-runtime on the classpath) instead"
@@ -103,6 +106,17 @@ def main() -> None:
     t0 = time.monotonic()
     run = run_crawl(spark, pages, seeds, cfg, resume=args.resume, io=io)
     wall = time.monotonic() - t0
+
+    if args.cdx:
+        from spacetime_crawler_spark.plans import cdx as cdx_mod
+        from spacetime_crawler_spark.plans.crawl import read_fetch_log
+
+        cdx_mod.write_cdx_index(
+            cdx_mod.cdx_records(
+                read_fetch_log(spark, run.io, run.rounds_run)
+            ),
+            args.cdx,
+        )
 
     fetched = sum(m.urls_selected for m in run.metrics)
     candidates = sum(m.candidates for m in run.metrics)

@@ -456,6 +456,16 @@ FROM documents
 
 TOP_BIGRAMS_K = 30
 
+# adjacent-token bigrams over a bound `t` tokens column (element_at is
+# 1-based; the size<2 guard matters because Spark's sequence(1, 0) is
+# DESCENDING, not empty) — shared by text_bigrams_topk and
+# text_repetition_stats so the two operators count the same bigrams
+_SPARK_BIGRAMS = (
+    "case when size(t) < 2 then array() else"
+    " transform(sequence(1, size(t) - 1),"
+    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) end"
+)
+
 
 def text_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K adjacent-token bigrams over the corpus — the vocabulary-builder
@@ -466,14 +476,9 @@ def text_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-based; the size<2 guard matters because Spark's sequence(1, 0) is
     DESCENDING, not empty)."""
     docs = load_table(spark, sf_dir, "documents")
-    bigram_expr = (
-        f"case when size(t) < 2 then array() else"
-        " transform(sequence(1, size(t) - 1),"
-        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) end"
-    )
     return (
         docs.select(F.expr(_SPARK_TOKENS).alias("t"))
-        .select(F.explode(F.expr(bigram_expr)).alias("bigram"))
+        .select(F.explode(F.expr(_SPARK_BIGRAMS)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
@@ -492,6 +497,115 @@ b AS (
 )
 SELECT bigram, COUNT(*) AS n FROM b
 GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT {TOP_BIGRAMS_K}
+"""
+
+
+# --- per-doc repetition signals (Gopher-style) --------------------------------------
+
+# Thresholds for the `repetitive` flag (Gopher prunes docs whose most
+# frequent 2-gram covers too much of the doc or whose 5-grams are mostly
+# duplicates; exact values here are pinned for cross-engine parity, not
+# tuned).  Signals are ROUNDED to 4dp before thresholding — both engines
+# must agree at the boundary (same discipline as the quality keep rule).
+REPEAT_TOP_BIGRAM_MAX = 0.08
+REPEAT_DUP_5GRAM_MAX = 0.55
+
+_SPARK_5GRAMS = (
+    "case when size(t) < 5 then cast(array() as array<string>) else"
+    " transform(sequence(1, size(t) - 4),"
+    " i -> concat_ws(' ', slice(t, i, 5))) end"
+)
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals — the Gopher-rule family (Rae et al. 2021,
+    'repetitious text' filters): duplicate-word fraction, duplicate-5-gram
+    fraction, and the fraction of bigram occurrences taken by the doc's most
+    frequent bigram, plus a thresholded `repetitive` flag.
+
+    Plan shape for 100 TB: the word/5-gram fractions are pure column
+    expressions (array_distinct over the doc's own token array — map-only,
+    no shuffle).  The top-bigram mode genuinely needs an aggregate, so the
+    map-only signals ride THROUGH it as grouping columns (functionally
+    dependent on doc_id — cardinality unchanged) instead of a second scan +
+    join: one explode, one partial+final hash agg per (doc, bigram), one
+    final per-doc agg; the shuffle carries short bigram strings and three
+    numerics, never text.  explode_outer + count(bigram) keeps docs with <2
+    tokens in the output with top_bigram_frac = 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_tok = docs.select(
+        "doc_id", F.expr(_SPARK_TOKENS).alias("t")
+    ).select(
+        "doc_id",
+        F.expr("cast(size(t) as int)").alias("n_tokens"),
+        F.expr(
+            "case when size(t) = 0 then 0.0 else"
+            " round(1 - size(array_distinct(t)) / size(t), 4) end"
+        ).alias("dup_word_frac"),
+        F.expr(
+            "case when size(t) < 5 then 0.0 else"
+            f" round(1 - size(array_distinct({_SPARK_5GRAMS}))"
+            " / (size(t) - 4), 4) end"
+        ).alias("dup_5gram_frac"),
+        F.explode_outer(F.expr(_SPARK_BIGRAMS)).alias("bigram"),
+    )
+    return (
+        per_tok.groupBy(
+            "doc_id", "n_tokens", "dup_word_frac", "dup_5gram_frac", "bigram"
+        )
+        .agg(F.count("bigram").alias("c"))
+        .groupBy("doc_id", "n_tokens", "dup_word_frac", "dup_5gram_frac")
+        .agg(
+            F.round(
+                F.max("c") / F.greatest(F.sum("c"), F.lit(1)), 4
+            ).alias("top_bigram_frac")
+        )
+        .withColumn(
+            "repetitive",
+            (
+                (F.col("top_bigram_frac") > REPEAT_TOP_BIGRAM_MAX)
+                | (F.col("dup_5gram_frac") > REPEAT_DUP_5GRAM_MAX)
+            ).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS INT) AS n_tokens,
+         CASE WHEN len(w) = 0 THEN 0.0
+              ELSE ROUND(1 - len(list_distinct(w)) * 1.0 / len(w), 4)
+         END AS dup_word_frac,
+         CASE WHEN len(w) < 5 THEN 0.0
+              ELSE ROUND(1 - len(list_distinct(
+                       list_transform(range(1, len(w) - 3),
+                                      i -> array_to_string(w[i:i+4], ' '))
+                     )) * 1.0 / (len(w) - 4), 4)
+         END AS dup_5gram_frac,
+         CASE WHEN len(w) < 2 THEN []
+              ELSE list_transform(range(1, len(w)),
+                                  i -> w[i] || ' ' || w[i + 1])
+         END AS bg
+  FROM t
+),
+s AS (
+  SELECT doc_id, n_tokens, dup_word_frac, dup_5gram_frac,
+         CASE WHEN len(bg) = 0 THEN 0.0
+              ELSE ROUND(list_max(list_transform(list_distinct(bg),
+                           x -> len(list_filter(bg, y -> y = x))))
+                         * 1.0 / len(bg), 4)
+         END AS top_bigram_frac
+  FROM m
+)
+SELECT doc_id, n_tokens, dup_word_frac, dup_5gram_frac, top_bigram_frac,
+       CAST(top_bigram_frac > {REPEAT_TOP_BIGRAM_MAX}
+            OR dup_5gram_frac > {REPEAT_DUP_5GRAM_MAX} AS INT) AS repetitive
+FROM s ORDER BY doc_id
 """
 
 

@@ -30,9 +30,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # consolidated away rather than letting a component's driver-visible row
 # vanish: a1_approx_unique_pages (HLL bound pinned in
 # test_approx_count_distinct_error_bound), sim_ann_buckets (bucket balance
-# pinned in test_ann_buckets_balanced) and dedup_exact_stats (oracle
-# compare pinned in test_dedup_exact_stats_oracle; dedup_exact_groups
-# keeps the component hash-green) live on as pytest-only coverage.
+# pinned in test_ann_buckets_balanced) and the exact-dedup pair (oracle
+# compares pinned in test_dedup_exact_stats_oracle /
+# test_dedup_exact_groups_oracle — the driver's sf0.01 corpus has zero
+# exact-dup groups, so the groups driver row was an empty compare; its
+# slot went to text_repetition_stats, a 500-row hash-green check) live on
+# as pytest-only coverage.
 DRIVER_QUERY_CAP = 50
 
 SPARK_QUERIES: dict[str, QueryFn] = {
@@ -71,7 +74,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "multimodal_binary_meta": multimodal.multimodal_binary_meta,
     "multimodal_fake_features": multimodal.multimodal_fake_features,
     # Training-data pipeline — dedup
-    "dedup_exact_groups": dedup.dedup_exact_groups,
+    "text_repetition_stats": textstats.text_repetition_stats,
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_simhash": dedup.dedup_simhash,
@@ -119,7 +122,7 @@ ORACLE_SQL: dict[str, str] = {
     "g_datetime_bucket": analytics.G_DATETIME_SQL,
     "g_window_running": analytics.G_WINDOW_SQL,
     "g_pivot_status": analytics.G_PIVOT_SQL,
-    "dedup_exact_groups": dedup.DEDUP_EXACT_GROUPS_SQL,
+    "text_repetition_stats": textstats.TEXT_REPETITION_SQL,
     "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": dedup.DEDUP_EMBEDDING_COSINE_SQL,
     "dedup_span_stats": dedup.DEDUP_SPAN_STATS_SQL,

@@ -221,3 +221,92 @@ def read_warc_pages(
 
     pages = pages.withColumn("text", text_extract_udf(F.col("html")))
     return annotate_lang(pages, text_col="text", lang_col="lang")
+
+
+# --- WARC sink ------------------------------------------------------------------
+
+def _serialize_record(
+    url: str, ts: datetime, html: bytes, gzip_records: bool
+) -> bytes:
+    """One ISO-28500 `response` record, framed exactly as _split_records /
+    _parse_response read it back (Content-Length delimiting, HTTP message
+    payload, record-separator CRLFCRLF).  WARC-Record-ID is DERIVED from
+    (url, ts) — re-exporting the same pages yields byte-identical files,
+    the same determinism contract as the rest of the engine."""
+    import hashlib
+
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        + b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n" + html
+    )
+    rid = hashlib.sha256(url.encode() + ts.isoformat().encode()).hexdigest()
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%S.%fZ").encode() + b"\r\n"
+        b"WARC-Record-ID: <urn:sha256:" + rid.encode() + b">\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+    )
+    rec = head + body + b"\r\n\r\n"
+    return gzip.compress(rec, mtime=0) if gzip_records else rec
+
+
+def write_warc_pages(
+    pages: DataFrame,
+    out_dir: str,
+    n_files: int | None = None,
+    gzip_records: bool = True,
+) -> DataFrame:
+    """Export a pages DataFrame as Common-Crawl-layout WARC files — the
+    inverse of read_warc_pages, round-trip-tested record for record.
+
+    Spark has no binary-file writer, so each task serializes its partition
+    to ONE `part-NNNNN.warc[.gz]` (per-record gzip members, mtime pinned
+    to 0 for byte determinism) and writes it to `out_dir` itself —
+    tmp-file + os.replace, so a speculative or retried task overwrites
+    atomically with identical bytes instead of corrupting.  `out_dir`
+    must be a filesystem every executor can reach (local mode, NFS; on a
+    real cluster point it at a fuse/object mount).
+
+    Returns the manifest (file, n_records, n_bytes) — an ACTION on the
+    manifest performs the export; n_files controls shard count (default:
+    the input's partitioning).  Memory is bounded at one serialized file
+    per task — size shards accordingly (Common Crawl targets ~1 GiB)."""
+    import os
+
+    if n_files is not None:
+        pages = pages.repartition(n_files)
+    os.makedirs(out_dir, exist_ok=True)
+    ext = "warc.gz" if gzip_records else "warc"
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks: list[bytes] = []
+        n = 0
+        for pdf in batches:
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                chunks.append(
+                    _serialize_record(
+                        url, ts.to_pydatetime(), bytes(html), gzip_records
+                    )
+                )
+                n += 1
+        if not n:
+            return
+        data = b"".join(chunks)
+        final = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
+        tmp = final + f".tmp-{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, final)
+        yield pd.DataFrame(
+            {"file": [final], "n_records": [n], "n_bytes": [len(data)]}
+        )
+
+    return pages.select("url", "warc_ts", "html").mapInPandas(
+        dump, schema="file string, n_records long, n_bytes long"
+    )

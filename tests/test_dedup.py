@@ -257,6 +257,25 @@ def test_decontaminate_sliding_superset_of_grid(spark):
     assert grid <= slid
 
 
+def test_dedup_exact_groups_oracle(spark):
+    """dedup_exact_groups yielded its driver slot to text_repetition_stats
+    (the sf0.01 corpus has no exact-dup groups, so its driver row compared
+    two empty frames); the oracle compare lives here instead.  Non-empty
+    dup-group behavior is pinned by pipeline_training_set's oracle-green
+    md5 dedup stage over the same md5(text) key."""
+    from tests.oracle_harness import compare, duck_connection
+
+    duck = duck_connection(SF_DIR)
+    try:
+        problems = compare(
+            dedup.dedup_exact_groups(spark, SF_DIR),
+            duck.sql(dedup.DEDUP_EXACT_GROUPS_SQL).df(),
+        )
+        assert not problems, problems
+    finally:
+        duck.close()
+
+
 def test_dedup_exact_stats_oracle(spark):
     """dedup_exact_stats lost its driver row to the 50-key artifact cap
     (registry.py DRIVER_QUERY_CAP); its oracle check lives here instead so

@@ -388,3 +388,49 @@ def test_langid_cyrillic_confusion(spark):
         r = got[i]
         assert r.pred_lang == expect, (i, expect, r)
         assert r.margin >= 2, (i, r)
+
+
+def test_repetition_stats_behavior(spark, tmp_path):
+    """text_repetition_stats over a crafted documents table: a one-word doc
+    survives with top_bigram_frac 0 (explode_outer), a mantra doc flags
+    repetitive, a varied doc doesn't, and a doc built from a repeated
+    5-gram shows dup_5gram_frac ≈ 1."""
+    rows = [
+        (1, "solo", "en", "s0", 4),
+        (2, "buy now " * 20, "en", "s0", 160),
+        (3, "the quick brown fox jumps over a lazy dog near banks while"
+            " seven wizards pack my box with five dozen liquor jugs and"
+            " sphinx of black quartz judge vows", "en", "s1", 150),
+        (4, "alpha beta gamma delta eps " * 8, "en", "s1", 216),
+    ]
+    from spacetime_crawler_spark.sources.tables import TESTDATA_SCHEMAS
+
+    spark.createDataFrame(rows, TESTDATA_SCHEMAS["documents"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r
+        for r in textstats.text_repetition_stats(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(got) == 4
+    assert got[1].n_tokens == 1
+    assert got[1].top_bigram_frac == 0.0 and got[1].repetitive == 0
+    # "buy now buy now ..." — 'buy now' is 20 of 39 bigram slots
+    assert got[2].top_bigram_frac > 0.5 and got[2].repetitive == 1
+    assert got[3].repetitive == 0 and got[3].dup_word_frac == 0.0
+    # repeated 5-word phrase: every 5-gram window recurs
+    assert got[4].dup_5gram_frac > textstats.REPEAT_DUP_5GRAM_MAX
+    assert got[4].repetitive == 1
+
+
+def test_repetition_flag_partitions_sf001_corpus(spark):
+    """The pinned thresholds must split the driver corpus — an all-0 or
+    all-1 flag column would make the driver's hash check vacuous for the
+    flag."""
+    flags = [
+        r.repetitive
+        for r in textstats.text_repetition_stats(spark, SF_DIR).collect()
+    ]
+    assert 0 < sum(flags) < len(flags)

@@ -287,3 +287,65 @@ def test_warc_oversize_file_guard(spark, tmp_path):
         warc.read_warc_pages(spark, str(d), max_compressed_bytes=64)
     # at the default bound the same directory reads fine
     assert len(warc.read_warc_pages(spark, str(d)).collect()) == 3
+
+
+def test_warc_write_roundtrip_and_determinism(spark, tmp_path):
+    """write_warc_pages is the exact inverse of read_warc_pages: a
+    synthetic pages world exported to per-record-gzip WARC and read back
+    is record-identical (url, ts to the microsecond, html bytes); a second
+    export produces byte-identical files (pinned gzip mtime, derived
+    record ids)."""
+    p = synth.world("tiny", n_pages=120)
+    pages = synth.generate_pages_df(spark, p)
+    out = str(tmp_path / "export")
+    man = warc.write_warc_pages(pages, out, n_files=3).collect()
+    assert sum(m.n_records for m in man) == pages.count()
+    assert all(m.file.endswith(".warc.gz") for m in man)
+
+    back = warc.read_warc_pages(spark, out + "/*.warc.gz")
+    orig = {
+        (r.url, r.warc_ts, bytes(r.html))
+        for r in pages.select("url", "warc_ts", "html").collect()
+    }
+    got = {
+        (r.url, r.warc_ts, bytes(r.html))
+        for r in back.select("url", "warc_ts", "html").collect()
+    }
+    assert got == orig
+
+    digests = {
+        m.file: __import__("hashlib").sha256(
+            open(m.file, "rb").read()
+        ).hexdigest()
+        for m in man
+    }
+    warc.write_warc_pages(pages, out, n_files=3).collect()
+    for f, d in digests.items():
+        assert (
+            __import__("hashlib").sha256(open(f, "rb").read()).hexdigest()
+            == d
+        ), f
+
+
+def test_warc_write_plain_layout_and_adversarial_html(spark, tmp_path):
+    """Uncompressed export round-trips too, including html that embeds a
+    WARC version marker and CRLFCRLF — Content-Length framing on both
+    sides means payload bytes can never mis-frame the stream."""
+    dt = __import__("datetime").datetime
+    rows = [
+        ("http://t.example.com/a", dt(2024, 3, 1, 12, 0, 0),
+         b"<html>WARC/1.0\r\n\r\nnot a record</html>", None, None),
+        ("http://t.example.com/b", dt(2024, 3, 1, 12, 0, 1),
+         b"<html>\r\n\r\nHTTP/1.1 200 OK\r\n\r\n</html>", None, None),
+    ]
+    pages = spark.createDataFrame(rows, synth.PAGES_SCHEMA_DDL)
+    out = str(tmp_path / "plain")
+    man = warc.write_warc_pages(
+        pages, out, n_files=1, gzip_records=False
+    ).collect()
+    assert man[0].file.endswith(".warc") and man[0].n_records == 2
+    got = {
+        (r.url, bytes(r.html))
+        for r in warc.read_warc_pages(spark, out + "/*.warc").collect()
+    }
+    assert got == {(u, h) for u, _t, h, _x, _l in rows}
