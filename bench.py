@@ -340,7 +340,15 @@ def ensure_world() -> tuple[str, list[str]]:
             # shared flock on <world>.lock — honor it exactly like
             # _evict_stale_worlds does, so this sweep can never delete a
             # live, reader-locked world out from under another process.
+            # No lock FILE at all means no reader can hold one (readers
+            # create theirs before opening the world; true legacy worlds
+            # predate the protocol entirely) — delete without creating a
+            # lock file that, being deliberately never unlinked, would
+            # otherwise litter the tempdir as a permanent orphan.
             try:
+                if not os.path.exists(stale_path + ".lock"):
+                    shutil.rmtree(stale_path, ignore_errors=True)
+                    continue
                 with open(stale_path + ".lock", "a") as lf:
                     fcntl.flock(lf, fcntl.LOCK_EX | fcntl.LOCK_NB)
                     shutil.rmtree(stale_path, ignore_errors=True)

@@ -688,9 +688,7 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — so the contamination check is a map-side hash probe over the
     training spans: no shuffle of the big side at any scale."""
     spans = _doc_spans(load_table(spark, sf_dir, "documents"))
-    is_eval = (F.col("doc_id") % EVAL_DOC_MODULUS == 0) & (
-        F.col("doc_id") < EVAL_DOC_LIMIT
-    )
+    is_eval = _eval_pred()
     eval_spans = spans.filter(is_eval).select("span").distinct()
     return (
         spans.filter(~is_eval)
@@ -767,6 +765,9 @@ def _doc_spans_sliding(docs: DataFrame) -> DataFrame:
 
 
 def _eval_pred():
+    """THE eval-stratum membership predicate — single Spark-side source of
+    truth shared by the grid and sliding decontamination operators (their
+    SQL oracles inline the same two constants)."""
     return (F.col("doc_id") % EVAL_DOC_MODULUS == 0) & (
         F.col("doc_id") < EVAL_DOC_LIMIT
     )

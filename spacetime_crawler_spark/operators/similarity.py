@@ -166,6 +166,17 @@ def build_ann_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     idx.write.mode("overwrite").partitionBy("table", "bucket").parquet(index_dir)
 
 
+def _bucket_filter(pairs) -> F.Column:
+    """(table, bucket) pairs → the OR-chain predicate whose per-conjunct
+    equality on partition columns Spark turns into static PartitionFilters.
+    ONE builder for both probe paths (single-query and batch) so the
+    plan-asserted pruning contract cannot drift between them."""
+    cond = F.lit(False)
+    for t, bu in pairs:
+        cond = cond | ((F.col("table") == t) & (F.col("bucket") == bu))
+    return cond
+
+
 def probe_ann_index(
     spark: SparkSession,
     index_dir: str,
@@ -182,10 +193,11 @@ def probe_ann_index(
     rows and a full-index scan per query."""
     pairs = _query_buckets(query_vec, hamming=hamming)
     idx = spark.read.parquet(index_dir)
-    cond = F.lit(False)
-    for t, bu in pairs:
-        cond = cond | ((F.col("table") == t) & (F.col("bucket") == bu))
-    candidates = idx.filter(cond).select("vec_id", "embedding").distinct()
+    candidates = (
+        idx.filter(_bucket_filter(pairs))
+        .select("vec_id", "embedding")
+        .distinct()
+    )
     if exclude_vec_id is not None:
         candidates = candidates.filter(F.col("vec_id") != exclude_vec_id)
     qlits = ", ".join(f"cast({float(v)} as double)" for v in query_vec)
@@ -355,15 +367,18 @@ def probe_ann_index_batch(
     # many queries are batched — this is a property of the geometry, not of
     # the data.  It buys a STATIC PartitionFilters scan (no DPP needed, no
     # full-index read even when AQE re-plans the join).
+    # qb is DELIBERATELY not persisted across this collect and the join
+    # below: the collect's plan is column-pruned to the bucket expressions
+    # (qv never computed), so the duplicate work is one map-only pass over
+    # queries — while caching qb would pin L× replicated embedding vectors
+    # in executor memory (at the millions-of-queries scale this API
+    # targets, gigabytes of cache to save a scan-stage recompute).
     probed = qb.select("table", "bucket").distinct().collect()
     assert len(probed) <= LSH_TABLES * (1 << LSH_BITS_PER_TABLE)
     idx = spark.read.parquet(index_dir)
-    cond = F.lit(False)
-    for r in probed:
-        cond = cond | ((F.col("table") == r.table) & (F.col("bucket") == r.bucket))
     cos = _SPARK_COS.format(a="embedding", b="qv")
     scored = (
-        idx.filter(cond)
+        idx.filter(_bucket_filter((r.table, r.bucket) for r in probed))
         .join(qb, ["table", "bucket"])
         .filter(
             (F.col("vec_id") != F.col("query_id"))

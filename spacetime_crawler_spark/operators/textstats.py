@@ -272,8 +272,22 @@ def _langid_decide(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
     runner-up — covers both layers.  Pure column expressions — map-only,
     fully codegen'd; `keep` columns (including binaries) ride the
     projections untouched."""
-    # temp column names guarded against collision with carried columns
-    assert "nt" not in keep and "tg" not in keep
+    # the FULL set of intermediate/output names this pipeline introduces —
+    # a carried column shadowing any of them would produce a duplicate
+    # column or an AMBIGUOUS_REFERENCE deep in the plan; fail up front
+    # with the offending name instead
+    reserved = (
+        {"nt", "tg", "n_chars", "d", "pred_lang", "n_hits", "margin",
+         "is_reliable"}
+        | {f"sc_{key}" for key, _lang, _pat in _SCRIPT_PATTERNS}
+        | {f"score_{lang}" for lang in LANG_TRIGRAMS}
+    )
+    clashes = reserved.intersection(keep)
+    if clashes:
+        raise ValueError(
+            f"langid reserves column name(s) {sorted(clashes)} — rename or "
+            "drop them before annotate_lang/langid_scores"
+        )
     normed = df.select(*keep, F.expr(_langid_norm_expr(text_col)).alias("nt"))
     script_counts = [
         (F.length("nt") - F.length(F.regexp_replace(F.col("nt"), pat, "")))
@@ -533,9 +547,13 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerics, never text.  explode_outer + count(bigram) keeps docs with <2
     tokens in the output with top_bigram_frac = 0."""
     docs = load_table(spark, sf_dir, "documents")
-    per_tok = docs.select(
-        "doc_id", F.expr(_SPARK_TOKENS).alias("t")
-    ).select(
+    # The signal expressions and the bigram ARRAY are materialized in a
+    # projection BELOW the explode, so Generate passes them through as
+    # plain attributes — one evaluation per DOC.  Putting explode_outer in
+    # the same select as the signals plans as Generate + post-Generate
+    # Project, re-evaluating every array_distinct once per BIGRAM ROW
+    # (measured 17 s instead of <1 s at sf0.1: quadratic per doc).
+    sig = docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("t")).select(
         "doc_id",
         F.expr("cast(size(t) as int)").alias("n_tokens"),
         F.expr(
@@ -547,7 +565,14 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" round(1 - size(array_distinct({_SPARK_5GRAMS}))"
             " / (size(t) - 4), 4) end"
         ).alias("dup_5gram_frac"),
-        F.explode_outer(F.expr(_SPARK_BIGRAMS)).alias("bigram"),
+        F.expr(_SPARK_BIGRAMS).alias("bg"),
+    )
+    per_tok = sig.select(
+        "doc_id",
+        "n_tokens",
+        "dup_word_frac",
+        "dup_5gram_frac",
+        F.explode_outer("bg").alias("bigram"),
     )
     return (
         per_tok.groupBy(

@@ -677,13 +677,18 @@ def read_fetch_log(spark: SparkSession, io: ParquetManifestIO,
                    up_to_round: int) -> DataFrame:
     """Union of fetch_log rounds 1..up_to_round.  A gap (a round in range
     that was never committed) raises instead of silently truncating — the
-    commit protocol guarantees contiguity, so a hole means corruption."""
+    commit protocol guarantees contiguity, so a hole means corruption.
+    allowMissingColumns: a crawl resumed with annotate_lang toggled on
+    writes later rounds one column wider (`lang`) than earlier ones —
+    the union fills the missing side with NULL (the same upgrade
+    semantics the Iceberg store's accept-any-schema append provides)
+    instead of failing the read."""
     dfs = [io.read(spark, "fetch_log", rnd) for rnd in range(1, up_to_round + 1)]
     if not dfs:
         raise FileNotFoundError("no committed fetch_log rounds")
     out = dfs[0]
     for df in dfs[1:]:
-        out = out.unionByName(df)
+        out = out.unionByName(df, allowMissingColumns=True)
     return out
 
 

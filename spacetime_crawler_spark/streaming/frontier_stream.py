@@ -289,12 +289,16 @@ def streaming_fetch_stage(
     pages table through the batch engine's own fetch_join_round (html
     never in a shuffle key; broadcast or shuffled-hash exactly like a
     batch round) and enriched through the SAME pinned extract_fetched
-    shape, then appended to a fetch_log parquet sink with
+    shape, then written to `{fetch_log_dir}/b{batch_id}` with
     round = sched_round.  foreachBatch is the correct topology here — a
     stream-static join with an arbitrary-stateful upstream and a
-    fan-out UDF belongs in a micro-batch callback, which also gives the
-    sink per-batch atomicity (Spark's parquet-sink commit protocol).
-    Returns the started StreamingQuery; callers awaitTermination.
+    fan-out UDF belongs in a micro-batch callback.  foreachBatch is
+    AT-LEAST-ONCE (a crash between the sink write and the offset commit
+    replays the batch on restart), so the sink must be IDEMPOTENT: each
+    batch overwrites its own batch-id-keyed subdirectory, and a replay
+    rewrites identical content instead of appending duplicate fetch_log
+    rows.  Consumers read the log with the `b*` glob.  Returns the
+    started StreamingQuery; callers awaitTermination.
 
     Differential contract (tests/test_streaming.py): this three-stage
     chain over one trigger of candidates equals ONE BATCH ROUND of the
@@ -308,22 +312,31 @@ def streaming_fetch_stage(
 
     page_keys = prepare_page_keys(spark, pages)
 
-    def _sink(batch_df, _batch_id):
-        if not batch_df.take(1):
-            return
-        selected = batch_df.withColumn("h2", F.hash("url_norm"))
-        fetched = fetch_join_round(
-            spark, pages, page_keys, selected,
-            broadcast_selected=broadcast_selected,
-            extra_meta=("sched_round",),
-        )
-        log = extract_fetched(fetched, extra_cols=("sched_round",)).select(
-            F.col("sched_round").alias("round"),
-            F.spark_partition_id().alias("part_id"),
-            "host", "url_norm", "url_hash", "depth", "fetch_seq", "due_s",
-            "status", "text_sha256", "content_len",
-        )
-        log.write.mode("append").parquet(fetch_log_dir)
+    def _sink(batch_df, batch_id):
+        # cache before the emptiness probe: batch_df's lineage includes the
+        # stateful schedule stage, and an uncached take(1) + write would
+        # execute that whole upstream twice per batch
+        batch_df.persist()
+        try:
+            if not batch_df.take(1):
+                return
+            selected = batch_df.withColumn("h2", F.hash("url_norm"))
+            fetched = fetch_join_round(
+                spark, pages, page_keys, selected,
+                broadcast_selected=broadcast_selected,
+                extra_meta=("sched_round",),
+            )
+            log = extract_fetched(fetched, extra_cols=("sched_round",)).select(
+                F.col("sched_round").alias("round"),
+                F.spark_partition_id().alias("part_id"),
+                "host", "url_norm", "url_hash", "depth", "fetch_seq", "due_s",
+                "status", "text_sha256", "content_len",
+            )
+            log.write.mode("overwrite").parquet(
+                f"{fetch_log_dir.rstrip('/')}/b{int(batch_id):05d}"
+            )
+        finally:
+            batch_df.unpersist()
 
     return (
         schedule_stream.writeStream.foreachBatch(_sink)

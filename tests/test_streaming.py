@@ -612,7 +612,8 @@ def test_streaming_full_round_equals_batch_round(spark, tmp_path):
     )
     q2.awaitTermination(180)
 
-    got = spark.read.parquet(log_dir).collect()
+    # the sink writes one idempotent subdirectory per micro-batch
+    got = spark.read.parquet(log_dir.rstrip("/") + "/b*").collect()
     got_rows = sorted(
         (r.host, r.url_norm, r.fetch_seq, r.due_s, r.status, r.text_sha256,
          r.content_len)
@@ -620,5 +621,24 @@ def test_streaming_full_round_equals_batch_round(spark, tmp_path):
     )
     assert all(r.round == 1 for r in got)
     assert got_rows == ref_rows
+
+    # replay idempotence: foreachBatch is at-least-once, so reprocessing
+    # the same batches (fresh checkpoint, same input) must OVERWRITE the
+    # batch-keyed subdirectories, not append duplicates
+    stage2b = fs.streaming_politeness_schedule(
+        spark.readStream.schema(COLS).parquet(inter)
+        .select("host", "url_norm", "url_hash", "depth", "crawl_delay"),
+        BUDGET,
+    )
+    q3 = fs.streaming_fetch_stage(
+        spark, pages, stage2b, log_dir, str(tmp_path / "ck3")
+    )
+    q3.awaitTermination(180)
+    replayed = sorted(
+        (r.host, r.url_norm, r.fetch_seq, r.due_s, r.status, r.text_sha256,
+         r.content_len)
+        for r in spark.read.parquet(log_dir.rstrip("/") + "/b*").collect()
+    )
+    assert replayed == ref_rows
     pages.unpersist()
     selected.unpersist()

@@ -270,6 +270,40 @@ def test_crawl_annotate_lang_and_language_histogram(spark, tmp_path):
     pages_latest.unpersist()
 
 
+def test_resume_with_lang_toggled_on_reads_mixed_schema_log(spark, tmp_path):
+    """A crawl resumed with annotate_lang newly enabled writes later
+    fetch_log rounds one column wider; read_fetch_log must union the
+    mixed-schema rounds (lang = NULL for pre-toggle rounds) instead of
+    failing — the parquet-side twin of the Iceberg accept-any-schema
+    upgrade path."""
+    p, rows, _expected = _multilingual_pages(spark)
+    d = tmp_path / "cc"
+    os.makedirs(d)
+    (d / "seg.warc.gz").write_bytes(_warc_bytes(rows, gzip_members=True))
+    pages = warc.read_warc_pages(spark, str(d))
+    seeds = synth.spread_seed_urls(p, n_seeds=60)
+
+    state = str(tmp_path / "s")
+    run_crawl(spark, pages, seeds, CrawlConfig(
+        state_dir=state, rounds=1, round_budget_s=8.0, annotate_lang=False,
+    ))
+    run2 = run_crawl(spark, pages, seeds, CrawlConfig(
+        state_dir=state, rounds=2, round_budget_s=8.0, annotate_lang=True,
+    ), resume=True)
+    assert run2.rounds_run == 2
+
+    log = crawl_mod.read_fetch_log(spark, run2.io, run2.rounds_run)
+    assert "lang" in log.columns
+    r1 = log.filter(F.col("round") == 1)
+    assert r1.count() > 0
+    assert r1.filter(F.col("lang").isNotNull()).count() == 0
+    r2 = log.filter((F.col("round") == 2) & (F.col("status") == 200))
+    assert r2.count() > 0  # the resumed round really ran and fetched
+    # and its rows carry real annotations (the fixture's sentence cycle
+    # makes most pages reliably identifiable)
+    assert r2.filter(F.col("lang").isNotNull()).count() > 0
+
+
 def test_warc_oversize_file_guard(spark, tmp_path):
     """A file over the compressed-size bound must fail fast with the file
     NAMED — not an opaque Arrow/OOM error mid-scan.  (binaryFile's binary
