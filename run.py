@@ -44,6 +44,10 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true",
                     help="resume from last committed round")
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--revisit", metavar="DIR", default=None,
+                    help="after the crawl, write per-URL revisit stats and"
+                         " the change-rate recrawl schedule over the INPUT"
+                         " pages archive to DIR (plans/cdx.py)")
     ap.add_argument("--cdx", metavar="DIR", default=None,
                     help="after the crawl, write a SURT-sorted CDX capture"
                          " index of the fetch_log to DIR (plans/cdx.py)")
@@ -117,6 +121,18 @@ def main() -> None:
             ),
             args.cdx,
         )
+
+    if args.revisit:
+        from spacetime_crawler_spark.plans import cdx as cdx_mod
+
+        stats_path = f"{args.revisit}/revisit_stats"
+        cdx_mod.revisit_stats(cdx_mod.capture_records(pages)).write.mode(
+            "overwrite"
+        ).parquet(stats_path)
+        # schedule reads the materialized stats — no recompute of the aggs
+        cdx_mod.recrawl_schedule(spark.read.parquet(stats_path)).write.mode(
+            "overwrite"
+        ).parquet(f"{args.revisit}/recrawl_schedule")
 
     fetched = sum(m.urls_selected for m in run.metrics)
     candidates = sum(m.candidates for m in run.metrics)

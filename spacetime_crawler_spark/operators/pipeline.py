@@ -179,6 +179,67 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-domain document budget (C4-style host cap) ---------------------------
+
+DOMAIN_BUDGET_DEFAULT = 40
+_BUDGET_SALT_BUCKETS = 8
+
+
+def domain_budget_cap(
+    docs: DataFrame, cap: int = DOMAIN_BUDGET_DEFAULT
+) -> DataFrame:
+    """Keep at most `cap` documents per source domain, preferring longer
+    documents — the C4/RefinedWeb rule that stops a single boilerplate-heavy
+    host from dominating the training mix.
+
+    Pinned order: (n_tokens DESC, doc_id ASC) — token count is the shared
+    quality expression (textstats.SPARK_N_TOKENS, so the rule cannot drift
+    from text_quality_score) and doc_id makes the kept SET deterministic on
+    any cluster size.
+
+    Scale shape: the same two-phase salted ranking as the frontier
+    scheduler (politeness.schedule_round) — at 100 TB one host can hold
+    10^8 pages, and a single row_number window would sort that entire
+    partition on one task.  Phase 1 ranks within (source, salt-of-doc_id)
+    buckets and keeps ≤ cap each, bounding any task's sort at
+    ~|domain|/S rows; phase 2 ranks exactly over ≤ S·cap survivors per
+    source.  Both exchanges carry (source, n_tokens, doc_id) — never text."""
+    ranked_cols = [F.desc("n_tokens"), F.asc("doc_id")]
+    scored = docs.select(
+        "doc_id", F.col("source"), F.expr(SPARK_N_TOKENS).alias("n_tokens")
+    )
+    salted = Window.partitionBy(
+        "source", F.pmod("doc_id", F.lit(_BUDGET_SALT_BUCKETS))
+    ).orderBy(*ranked_cols)
+    pre = (
+        scored.withColumn("prn", F.row_number().over(salted))
+        .filter(F.col("prn") <= F.lit(cap))
+        .drop("prn")
+    )
+    exact = Window.partitionBy("source").orderBy(*ranked_cols)
+    return (
+        pre.withColumn("rn", F.row_number().over(exact))
+        .filter(F.col("rn") <= F.lit(cap))
+        .select("doc_id", "source", "n_tokens", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+# DuckDB mirror over the documents view — the in-test oracle
+# (tests/test_pipeline.py); not a driver row (the 50-row artifact cap is
+# taken).  The oracle is the UNsalted single window: phase 1 only discards
+# rows that phase 2 would rank > cap, so the two must agree exactly.
+DOMAIN_BUDGET_SQL = f"""
+SELECT doc_id, source, n_tokens, CAST(rn AS INT) AS rn FROM (
+  SELECT doc_id, source, CAST(len(wtok) AS INT) AS n_tokens,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(len(wtok) AS INT) DESC, doc_id ASC
+         ) AS rn
+  FROM (SELECT doc_id, source, {_DUCK_TOKENS} AS wtok FROM documents)
+) WHERE rn <= {{cap}}
+"""
+
+
 _SAMPLE_CASE_DUCK = " ".join(
     f"WHEN lang = '{lang}' THEN '{hx}'" for lang, hx in SAMPLE_RATE_HEX.items()
 )

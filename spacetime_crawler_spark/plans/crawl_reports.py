@@ -217,3 +217,61 @@ def common_words(fetch_log: DataFrame, pages_latest: DataFrame, k: int = 50) -> 
         .orderBy(F.desc("n"), F.asc("word"))
         .limit(k)
     )
+
+
+def anchor_text_agg(
+    fetch_log: DataFrame, pages_latest: DataFrame, min_inbound: int = 1
+) -> DataFrame:
+    """Inbound anchor-text aggregation — the link-context ranking signal a
+    web-scale corpus builds per TARGET url: how many crawled pages link to
+    it, from how many distinct hosts, and the dominant anchor string.
+
+    Deterministic top-anchor rule: highest inbound count wins, ties broken
+    by lexicographically-smallest anchor (empty-string anchors — image
+    links etc. — count toward n_inbound but never win the label unless
+    they are all there is).
+
+    Scale shape: the anchor UDF runs fused into the pages scan (one Arrow
+    crossing, same batch discipline as the F8/F9 path); the explode emits
+    narrow (target, src_host, anchor) rows — html never leaves the scan
+    stage.  Aggregation is two partial+final hash-agg chains on short
+    string keys (per-(target,anchor) counts rolled up by a struct-min
+    instead of a window — no per-group sort), plus one distinct-host agg;
+    the final single-key joins meet on the same target partitioning."""
+    from spacetime_crawler_spark.operators.udfs import anchor_extract_udf
+
+    ok = fetch_log.filter(F.col("status") == 200).select(
+        "url_norm", "url_hash", "host"
+    ).distinct()
+    src = ok.join(
+        pages_latest.select(
+            "url_norm",
+            "url_hash",
+            anchor_extract_udf("html", "url_norm").alias("anchors"),
+        ),
+        ["url_hash", "url_norm"],
+    )
+    pairs = src.select(
+        F.col("host").alias("src_host"),
+        F.explode("anchors").alias("an"),
+    ).select(
+        F.col("an.url").alias("target"),
+        "src_host",
+        F.col("an.anchor").alias("anchor"),
+    )
+    per_anchor = pairs.groupBy("target", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # min of (-n, anchor) = highest count, ties to the smallest anchor
+    best = per_anchor.groupBy("target").agg(
+        F.sum("n").cast("long").alias("n_inbound"),
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("anchor").alias("a")))
+        .getField("a")
+        .alias("top_anchor"),
+    )
+    hosts = pairs.groupBy("target").agg(
+        F.countDistinct("src_host").cast("long").alias("n_src_hosts")
+    )
+    return best.join(hosts, "target").filter(
+        F.col("n_inbound") >= F.lit(min_inbound)
+    ).select("target", "n_inbound", "n_src_hosts", "top_anchor")

@@ -93,3 +93,52 @@ def test_host_pagerank_matches_pure_python(setup):
         assert abs(got[h] - rank[h]) < 1e-6, (h, got[h], rank[h])
     # the graph must be non-trivial for this test to mean anything
     assert edges and len({v for v in got.values()}) > 1
+
+
+def test_anchor_text_agg_matches_pure_python(setup):
+    """anchor_text_agg over the engine's crawl output vs a pure-Python
+    aggregation over the SAME fetched set using the pinned extract_anchors
+    — counts, distinct source hosts, and the deterministic top-anchor
+    tie-break all must agree."""
+    from collections import defaultdict
+
+    from spacetime_crawler_spark.functions.textextract import extract_anchors
+
+    _, fetch_log, pages_latest = setup
+    ok = (
+        fetch_log.filter("status = 200")
+        .select("url_norm", "url_hash", "host")
+        .distinct()
+        .collect()
+    )
+    html_by_key = {
+        (r.url_hash, r.url_norm): bytes(r.html)
+        for r in pages_latest.select("url_norm", "url_hash", "html").collect()
+    }
+    n_in: dict[str, int] = defaultdict(int)
+    hosts: dict[str, set] = defaultdict(set)
+    per_anchor: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+    for r in ok:
+        html = html_by_key.get((r.url_hash, r.url_norm))
+        if html is None:
+            continue
+        for u, a in extract_anchors(html, r.url_norm):
+            n_in[u] += 1
+            hosts[u].add(r.host)
+            per_anchor[u][a] += 1
+    want = {
+        u: (
+            n_in[u],
+            len(hosts[u]),
+            min(per_anchor[u].items(), key=lambda kv: (-kv[1], kv[0]))[0],
+        )
+        for u in n_in
+    }
+    got = {
+        r.target: (r.n_inbound, r.n_src_hosts, r.top_anchor)
+        for r in crawl_reports.anchor_text_agg(fetch_log, pages_latest).collect()
+    }
+    assert len(got) > 0
+    assert got == want
+    # the synthetic corpus carries real anchor labels — the signal is live
+    assert any(v[2] for v in got.values())

@@ -291,3 +291,53 @@ def test_dedup_exact_stats_oracle(spark):
         assert not problems, problems
     finally:
         duck.close()
+
+
+def test_domain_budget_cap_matches_duckdb(spark):
+    """The C4-style per-domain cap vs the UNsalted single-window oracle in
+    DuckDB — proves phase 1 of the salted two-phase ranking never discards
+    a row the exact rank would keep.  cap=3 < docs-per-source at sf0.01, so
+    the cap actually bites."""
+    import duckdb
+
+    from spacetime_crawler_spark.operators import pipeline as pl
+    from spacetime_crawler_spark.sources.tables import load_table
+    from tests.oracle_harness import compare, duck_connection
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = pl.domain_budget_cap(docs, cap=3)
+    con = duck_connection(SF_DIR)
+    oracle = con.sql(pl.DOMAIN_BUDGET_SQL.format(cap=3)).df()
+    assert compare(got, oracle) == []
+    con.close()
+    # the cap bites: fewer rows out than in, exactly ≤3 per source
+    rows = got.collect()
+    assert 0 < len(rows) < docs.count()
+    per_src: dict[str, int] = {}
+    for r in rows:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+    assert all(n <= 3 for n in per_src.values())
+
+
+def test_domain_budget_cap_plan_shape(spark):
+    """Scale shape: two window sorts (salted pre-rank + exact rank), both
+    exchanges keyed on narrow columns — the text column must not appear in
+    any exchange (it is consumed by the token-count projection below the
+    first shuffle)."""
+    import contextlib
+    import io as _io
+
+    from spacetime_crawler_spark.operators import pipeline as pl
+    from spacetime_crawler_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = pl.domain_budget_cap(docs, cap=3)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    p = buf.getvalue()
+    assert p.count("Window") >= 2, p[:2000]
+    # formatted mode puts exchange keys on their own Arguments: lines
+    for line in p.splitlines():
+        if "hashpartitioning" in line:
+            assert "text#" not in line, line
