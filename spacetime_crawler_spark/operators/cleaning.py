@@ -1,0 +1,178 @@
+"""Line-level corpus cleaning — the C4 rules (Raffel et al. 2020, public
+spec) re-expressed as native Spark column programs, plus the global
+exact-line dedup every large webtext pipeline runs before training.
+
+Both operators are df-in/df-out over (doc_id, text) so they compose with
+the curation pipeline and run equally over the documents table, crawl
+output, or WARC-ingested pages.  Neither takes a driver-registry slot
+(the 50-row artifact cap is taken); each is pinned by an in-test DuckDB
+oracle over the same parquet fixture (tests/test_cleaning.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- C4 line filters ----------------------------------------------------------
+
+# Pinned spec (the C4 cleaning rules, applied per '\n'-line):
+#   keep a line iff it ends in terminal punctuation ( . ! ? " ), carries
+#   ≥ MIN_LINE_WORDS whitespace-words, and does not mention "javascript"
+#   (case-insensitive).  Drop the whole doc if its SURVIVING text contains
+#   '{' (code), a "lorem ipsum" marker, or fewer than MIN_KEPT_LINES lines.
+MIN_LINE_WORDS = 5
+MIN_KEPT_LINES = 3
+
+_LINE_KEEP_LAMBDA = (
+    "x -> x rlike '[.!?\"]$'"
+    " AND size(filter(split(x, ' '), w -> w != '')) >= {min_words}"
+    " AND NOT contains(lower(x), 'javascript')"
+)
+
+
+def clean_lines_c4(
+    docs: DataFrame,
+    min_line_words: int = MIN_LINE_WORDS,
+    min_kept_lines: int = MIN_KEPT_LINES,
+) -> DataFrame:
+    """C4 line filtering: (doc_id, text) → (doc_id, text_clean,
+    n_lines_kept, n_lines_total) for surviving docs.
+
+    Scale shape: entirely map-only — one split + one higher-order filter +
+    one join per row, no shuffle, no UDF; at 100 TB the whole operator
+    runs inside the scan stage and survivors stream straight into the next
+    pipeline step (quality gate / dedup)."""
+    keep = _LINE_KEEP_LAMBDA.format(min_words=min_line_words)
+    lines = F.split(F.col("text"), "\n")
+    kept = F.expr(f"filter(split(text, '\\n'), {keep})")
+    return (
+        docs.select(
+            "doc_id",
+            F.array_join(kept, "\n").alias("text_clean"),
+            F.size(kept).cast("int").alias("n_lines_kept"),
+            F.size(lines).cast("int").alias("n_lines_total"),
+        )
+        .where(
+            (F.col("n_lines_kept") >= F.lit(min_kept_lines))
+            & ~F.col("text_clean").contains("{")
+            & ~F.lower(F.col("text_clean")).contains("lorem ipsum")
+        )
+    )
+
+
+# DuckDB mirror over a `docs` view (doc_id, text) — the in-test oracle.
+CLEAN_LINES_SQL = f"""
+WITH cleaned AS (
+  SELECT doc_id,
+         array_to_string(
+           list_filter(string_split(text, chr(10)),
+             x -> regexp_matches(x, '[.!?"]$')
+                  AND len(list_filter(string_split(x, ' '), w -> w <> ''))
+                      >= {MIN_LINE_WORDS}
+                  AND NOT contains(lower(x), 'javascript')),
+           chr(10)) AS text_clean,
+         CAST(len(list_filter(string_split(text, chr(10)),
+             x -> regexp_matches(x, '[.!?"]$')
+                  AND len(list_filter(string_split(x, ' '), w -> w <> ''))
+                      >= {MIN_LINE_WORDS}
+                  AND NOT contains(lower(x), 'javascript'))) AS INT)
+           AS n_lines_kept,
+         CAST(len(string_split(text, chr(10))) AS INT) AS n_lines_total
+  FROM docs
+)
+SELECT * FROM cleaned
+WHERE n_lines_kept >= {MIN_KEPT_LINES}
+  AND NOT contains(text_clean, '{{')
+  AND NOT contains(lower(text_clean), 'lorem ipsum')
+"""
+
+
+# --- global exact-line dedup --------------------------------------------------
+
+def dedup_lines_global(docs: DataFrame, min_line_chars: int = 10) -> DataFrame:
+    """Corpus-wide exact line dedup: every line of every doc is kept only
+    at its FIRST occurrence — first = smallest (doc_id, pos) over the
+    line's md5 — then docs are reassembled in original line order
+    (RefinedWeb/MassiveText-style; lines shorter than min_line_chars pass
+    through untouched so headings and blank separators aren't globally
+    collapsed).  Emits (doc_id, text_dedup, n_lines_kept, n_lines_dropped)
+    for docs retaining ≥1 line.
+
+    Scale shape: the duplicate-set side is a partial+final hash agg of
+    min(struct(doc_id, pos)) keyed on the 16-byte line md5 — no window,
+    no per-key sort; the equi-join back meets the lines on the same md5
+    partitioning.  Reassembly is one groupBy(doc_id) whose collect_list is
+    bounded by a single document's line count."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+    )
+    long_lines = lines.where(F.length("line") >= F.lit(min_line_chars))
+    firsts = long_lines.groupBy(F.md5("line").alias("k")).agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    kept_long = (
+        long_lines.join(firsts, F.md5(F.col("line")) == F.col("k"))
+        .where(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+        .select("doc_id", "pos", "line")
+    )
+    short_lines = lines.where(F.length("line") < F.lit(min_line_chars))
+    kept = kept_long.unionByName(short_lines)
+    n_total = docs.select(
+        "doc_id", F.size(F.split("text", "\n")).cast("int").alias("n_lines")
+    )
+    out = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).cast("int").alias("n_lines_kept"),
+        )
+        .join(n_total, "doc_id")
+        .select(
+            "doc_id",
+            "text_dedup",
+            "n_lines_kept",
+            (F.col("n_lines") - F.col("n_lines_kept"))
+            .cast("int")
+            .alias("n_lines_dropped"),
+        )
+    )
+    return out
+
+
+DEDUP_LINES_SQL = """
+WITH lines AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, chr(10)), 1) - 1 AS BIGINT) AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM docs
+), ranked AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN len(line) >= {min_chars}
+              THEN row_number() OVER (PARTITION BY md5(line)
+                                      ORDER BY doc_id, pos)
+              ELSE 1 END AS rn
+  FROM lines
+), kept AS (
+  SELECT doc_id, pos, line FROM ranked WHERE rn = 1
+), totals AS (
+  SELECT doc_id, CAST(len(string_split(text, chr(10))) AS INT) AS n_lines
+  FROM docs
+)
+SELECT k.doc_id,
+       string_agg(k.line, chr(10) ORDER BY k.pos) AS text_dedup,
+       CAST(COUNT(*) AS INT) AS n_lines_kept,
+       CAST(ANY_VALUE(t.n_lines) - COUNT(*) AS INT) AS n_lines_dropped
+FROM kept k JOIN totals t USING (doc_id)
+GROUP BY k.doc_id
+"""

@@ -1,0 +1,108 @@
+"""C4 line cleaning + global exact-line dedup vs DuckDB oracles over a
+crafted multi-line fixture (the testdata documents are single-line, so the
+fixture plants everything the rules must hit: terminal-punctuation misses,
+short lines, javascript lines, code docs, lorem-ipsum docs, cross-doc and
+within-doc duplicate lines, short pass-through separators)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from spacetime_crawler_spark.operators import cleaning
+from tests.oracle_harness import compare
+
+GOOD = "this line is long enough and ends with a period."
+DUP = "an often-quoted duplicated sentence shows up in many documents."
+
+DOCS = [
+    # survives cleaning: 3 good lines (one gets dup-dropped later)
+    (0, f"{GOOD}\n{DUP}\nanother perfectly fine sentence lives right here."),
+    # line-level drops: no terminal punct / too few words / javascript
+    (1, f"no terminal punctuation here\nshort one.\nenable JavaScript to view this page.\n{GOOD}\n{DUP}\nthird good line so the document survives the floor."),
+    # doc-level drop: curly brace in a surviving line
+    (2, "function body { return 1; } stays on this long line.\n" f"{GOOD}\n{DUP}"),
+    # doc-level drop: lorem ipsum marker
+    (3, f"lorem ipsum dolor sit amet is the classic filler text.\n{GOOD}\nthird line present and accounted for, with punctuation."),
+    # too few surviving lines
+    (4, f"{GOOD}\nsecond good line ends with a question mark, right?"),
+    # dedup-only cases: within-doc duplicate + short separators
+    (5, f"{DUP}\n---\n{DUP}\nunique closing line for document five."),
+    (6, "---\nunique line for document six, happily terminal."),
+]
+
+
+@pytest.fixture(scope="module")
+def fixture(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cleaning") / "docs.parquet")
+    spark.createDataFrame(DOCS, "doc_id long, text string").coalesce(1).write.parquet(path)
+    docs = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW docs AS SELECT * FROM '{path}/*.parquet'")
+    yield docs, con
+    con.close()
+
+
+def test_clean_lines_c4_matches_duckdb(spark, fixture):
+    docs, con = fixture
+    got = cleaning.clean_lines_c4(docs)
+    oracle = con.sql(cleaning.CLEAN_LINES_SQL).df()
+    assert compare(got, oracle) == []
+    rows = {r.doc_id: r for r in got.collect()}
+    # exactly the docs the spec keeps (doc 5's '---' separator dies to the
+    # punctuation rule but its three sentence lines clear the floor)
+    assert set(rows) == {0, 1, 5}
+    # doc 1 lost its three bad lines and kept the three good ones
+    assert rows[1].n_lines_kept == 3 and rows[1].n_lines_total == 6
+    assert "JavaScript" not in rows[1].text_clean
+    assert "no terminal punctuation" not in rows[1].text_clean
+
+
+def test_clean_lines_c4_is_map_only(spark, fixture):
+    import contextlib
+    import io as _io
+
+    docs, _ = fixture
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cleaning.clean_lines_c4(docs).explain(mode="formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p, p[:2000]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:2000]
+
+
+def test_dedup_lines_global_matches_duckdb(spark, fixture):
+    docs, con = fixture
+    got = cleaning.dedup_lines_global(docs)
+    oracle = con.sql(cleaning.DEDUP_LINES_SQL.format(min_chars=10)).df()
+    assert compare(got, oracle) == []
+
+
+def test_dedup_lines_global_semantics(spark, fixture):
+    docs, _ = fixture
+    rows = {r.doc_id: r for r in cleaning.dedup_lines_global(docs).collect()}
+    # every doc retains at least its unique lines
+    assert set(rows) == {d for d, _ in DOCS}
+    # DUP survives only at its first occurrence: doc 0
+    dup_hits = sorted(d for d, r in rows.items() if DUP in r.text_dedup)
+    assert dup_hits == [0]
+    # doc 5 held two DUP copies (both lost to doc 0) but keeps its short
+    # '---' separator and its unique closing line
+    assert rows[5].n_lines_dropped == 2
+    assert "---" in rows[5].text_dedup
+    # short separators pass through untouched in every doc
+    assert rows[6].text_dedup == "---\nunique line for document six, happily terminal."
+    # doc 0 owns every first occurrence of its lines: nothing dropped,
+    # order preserved after reassembly
+    assert rows[0].n_lines_dropped == 0
+    assert rows[0].text_dedup.startswith(GOOD)
+
+
+def test_dedup_lines_first_occurrence_is_doc0(spark, fixture):
+    """(doc_id, pos) ordering: DUP appears in docs 0, 1, 2, 5 (twice) —
+    only doc 0's copy survives."""
+    docs, _ = fixture
+    rows = {r.doc_id: r for r in cleaning.dedup_lines_global(docs).collect()}
+    assert DUP in rows[0].text_dedup
+    for d in (1, 2, 5):
+        assert DUP not in rows[d].text_dedup
