@@ -240,6 +240,136 @@ SELECT doc_id, source, n_tokens, CAST(rn AS INT) AS rn FROM (
 """
 
 
+# --- per-source token budget (corpus mixing) ----------------------------------
+
+TOKEN_BUDGET_DEFAULT = 1_500
+
+
+def corpus_token_budget(
+    docs: DataFrame, budget_tokens: int = TOKEN_BUDGET_DEFAULT
+) -> DataFrame:
+    """Cap each source's contribution to the training mix at a TOKEN budget
+    (the unit data mixes are actually specified in), not a document count:
+    docs are admitted in the deterministic md5(doc_id) order until the
+    source's running token total would pass the budget.
+
+    Pinned rule: keep a doc iff its INCLUSIVE running sum ≤ budget — the
+    doc that crosses the boundary is dropped, as is everything after it in
+    the hash order.  The md5 order makes the admitted SET a uniform,
+    reproducible sample of the source, independent of storage order and
+    cluster size (same portable-determinism trick as the stratified
+    sampler).
+
+    Scale shape: one window cumsum per source — a single hash exchange on
+    the source key plus a per-source sort on the 32-char hash.  A running
+    sum is inherently sequential per key, so unlike the domain cap there is
+    no salted two-phase shortcut; for a pathological mega-source, pre-prune
+    with domain_budget_cap or run per-partition budgets.  Exchanges carry
+    (source, n_tokens, hash) — never text."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h32", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.expr(SPARK_N_TOKENS).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h32"),
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .where(F.col("cum_tokens") <= F.lit(budget_tokens))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+# --- training-sequence packing ------------------------------------------------
+
+PACK_MAX_TOKENS = 256
+PACK_BUCKETS = 16
+
+_PACK_SCHEMA = (
+    "doc_id long, bucket int, seq_id long, seq_pos int, n_tokens int"
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = PACK_MAX_TOKENS,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences — the
+    step between a curated corpus and a dataloader.  Deterministically
+    parallel: docs hash into n_buckets independent streams
+    (pmod(xxhash64(doc_id), n_buckets)); within a bucket they are packed
+    in md5(doc_id) order by the greedy NEXT-FIT rule — a doc joins the
+    current sequence if it fits, else opens the next one.  A doc larger
+    than max_tokens gets a sequence of its own (truncation is the
+    tokenizer's concern, not the packer's).
+
+    Output: one row per doc — (doc_id, bucket, seq_id, seq_pos, n_tokens)
+    with seq_id bucket-local; (bucket, seq_id) is the globally unique
+    sequence key.  Bit-identical on any cluster size: both the bucket
+    assignment and the within-bucket order are pure functions of doc_id.
+
+    Scale shape: token counts are computed JVM-side BEFORE the Arrow
+    crossing; the pandas groups carry three narrow columns, never text,
+    and each group holds ~|corpus|/n_buckets rows — size n_buckets so a
+    group fits an executor (at 100 TB that is a few thousand buckets, and
+    the packing loop stays O(group) with O(1) state)."""
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["h32", "doc_id"], kind="mergesort")
+        seq_ids, seq_pos = [], []
+        cur_seq, cur_pos, cur_tokens = 0, 0, 0
+        for n in pdf["n_tokens"]:
+            if cur_pos > 0 and cur_tokens + n > max_tokens:
+                cur_seq, cur_pos, cur_tokens = cur_seq + 1, 0, 0
+            seq_ids.append(cur_seq)
+            seq_pos.append(cur_pos)
+            cur_pos += 1
+            cur_tokens += n
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "bucket": pdf["bucket"],
+                "seq_id": seq_ids,
+                "seq_pos": seq_pos,
+                "n_tokens": pdf["n_tokens"],
+            }
+        )
+
+    scored = docs.select(
+        "doc_id",
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int").alias(
+            "bucket"
+        ),
+        F.md5(F.col("doc_id").cast("string")).alias("h32"),
+        F.expr(SPARK_N_TOKENS).cast("int").alias("n_tokens"),
+    )
+    return scored.groupBy("bucket").applyInPandas(pack, schema=_PACK_SCHEMA)
+
+
+# DuckDB mirror over the documents view — the in-test oracle
+# (tests/test_dedup.py); not a driver row (the 50-row artifact cap is taken).
+CORPUS_TOKEN_BUDGET_SQL = f"""
+SELECT doc_id, source, n_tokens, cum_tokens FROM (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY h32, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM (
+    SELECT doc_id, source, CAST(len({_DUCK_TOKENS}) AS INT) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS h32
+    FROM documents
+  )
+) WHERE cum_tokens <= {{budget}}
+"""
+
+
 _SAMPLE_CASE_DUCK = " ".join(
     f"WHEN lang = '{lang}' THEN '{hx}'" for lang, hx in SAMPLE_RATE_HEX.items()
 )

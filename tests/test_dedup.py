@@ -341,3 +341,73 @@ def test_domain_budget_cap_plan_shape(spark):
     for line in p.splitlines():
         if "hashpartitioning" in line:
             assert "text#" not in line, line
+
+
+def test_corpus_token_budget_matches_duckdb(spark):
+    """Per-source token-budget admission vs the identical DuckDB window
+    cumsum — budget chosen so every source gets cut mid-stream."""
+    from spacetime_crawler_spark.operators import pipeline as pl
+    from spacetime_crawler_spark.sources.tables import load_table
+    from tests.oracle_harness import compare, duck_connection
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = pl.corpus_token_budget(docs, budget_tokens=500)
+    con = duck_connection(SF_DIR)
+    oracle = con.sql(pl.CORPUS_TOKEN_BUDGET_SQL.format(budget=500)).df()
+    assert compare(got, oracle) == []
+    con.close()
+    rows = got.collect()
+    assert 0 < len(rows) < docs.count()  # the budget bites
+    per_src: dict[str, int] = {}
+    for r in rows:
+        per_src[r.source] = max(per_src.get(r.source, 0), r.cum_tokens)
+    assert all(v <= 500 for v in per_src.values())
+
+
+def test_pack_sequences_matches_pure_python(spark):
+    """pack_sequences ≡ a pure-python next-fit recompute over the same
+    (bucket, md5-order, token-count) inputs, plus the packing invariants:
+    every doc exactly once; no sequence exceeds max_tokens unless it is a
+    single oversized doc; next-fit means a doc never fits in the sequence
+    it split from."""
+    from collections import defaultdict
+
+    from spacetime_crawler_spark.operators import pipeline as pl
+    from spacetime_crawler_spark.operators.textstats import SPARK_N_TOKENS
+    from spacetime_crawler_spark.sources.tables import load_table
+
+    MAX = 120
+    docs = load_table(spark, SF_DIR, "documents")
+    inputs = docs.selectExpr(
+        "doc_id",
+        f"cast(pmod(xxhash64(doc_id), {pl.PACK_BUCKETS}) as int) as bucket",
+        "md5(cast(doc_id as string)) as h32",
+        f"cast({SPARK_N_TOKENS} as int) as n_tokens",
+    ).collect()
+
+    by_bucket: dict[int, list] = defaultdict(list)
+    for r in inputs:
+        by_bucket[r.bucket].append(r)
+    want = {}
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: (r.h32, r.doc_id))
+        seq, pos, tok = 0, 0, 0
+        for r in rs:
+            if pos > 0 and tok + r.n_tokens > MAX:
+                seq, pos, tok = seq + 1, 0, 0
+            want[r.doc_id] = (b, seq, pos, r.n_tokens)
+            pos += 1
+            tok += r.n_tokens
+
+    got_rows = pl.pack_sequences(docs, max_tokens=MAX).collect()
+    got = {r.doc_id: (r.bucket, r.seq_id, r.seq_pos, r.n_tokens) for r in got_rows}
+    assert got == want  # every doc exactly once, identical assignment
+
+    seq_tokens: dict[tuple, int] = defaultdict(int)
+    seq_len: dict[tuple, int] = defaultdict(int)
+    for r in got_rows:
+        seq_tokens[(r.bucket, r.seq_id)] += r.n_tokens
+        seq_len[(r.bucket, r.seq_id)] += 1
+    overfull = [k for k, v in seq_tokens.items() if v > MAX]
+    assert all(seq_len[k] == 1 for k in overfull)  # only oversized singletons
+    assert len(seq_tokens) > 1  # packing actually split sequences
