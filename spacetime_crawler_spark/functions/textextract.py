@@ -217,3 +217,96 @@ def extract_anchors(
         (resolve_and_canonicalize(base_url, href), text)
         for href, text in parser.anchors
     ]
+
+
+# Block-level elements: opening OR closing one of these ends the current
+# text block.  (br/hr are void but still break blocks.)
+_BLOCK_TAGS = frozenset(
+    {"p", "div", "section", "article", "main", "aside", "header", "footer",
+     "nav", "li", "ul", "ol", "td", "th", "tr", "table", "h1", "h2", "h3",
+     "h4", "h5", "h6", "blockquote", "pre", "br", "hr", "title", "body"}
+)
+
+MAIN_MIN_BLOCK_CHARS = 25
+MAIN_MAX_LINK_DENSITY = 0.33
+
+
+class _BlockCollector(HTMLParser):
+    """Text blocks with per-block anchor-char counts — the input to the
+    link-density boilerplate rule.  A block is the text between block-tag
+    boundaries; chars inside <a> count toward its anchor total;
+    <script>/<style> text is skipped as everywhere else."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self._anchor_depth = 0
+        self._chunks: list[str] = []
+        self._anchor_chars = 0
+        self.blocks: list[tuple[str, int]] = []
+
+    def _flush(self) -> None:
+        text = " ".join(" ".join(self._chunks).split())
+        if text:
+            self.blocks.append((text, self._anchor_chars))
+        self._chunks = []
+        self._anchor_chars = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_CONTENT_TAGS and tag not in _VOID_TAGS:
+            self._skip_depth += 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+        if tag == "a":
+            self._anchor_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_CONTENT_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+        if tag == "a" and self._anchor_depth > 0:
+            self._anchor_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        stripped = data.strip()
+        if stripped:
+            self._chunks.append(stripped)
+            if self._anchor_depth:
+                self._anchor_chars += len(stripped)
+
+
+def extract_main_content(
+    html: bytes | str | None,
+    min_block_chars: int = MAIN_MIN_BLOCK_CHARS,
+    max_link_density: float = MAIN_MAX_LINK_DENSITY,
+) -> str:
+    """Boilerplate-stripped main content — the jusText/boilerpipe-family
+    link-density heuristic on a pinned, deterministic spec:
+
+      split the page into text blocks at block-tag boundaries; keep a
+      block iff it has ≥ min_block_chars collapsed chars AND its
+      anchor-char fraction is ≤ max_link_density; join kept blocks with
+      '\\n'.
+
+    Navigation menus, footers, and tag clouds are link-dense short blocks
+    and die to both rules; article paragraphs are long and link-sparse.
+    This is intentionally NOT extract_text (F9): F9 is the pinned
+    byte-identity surface the crawl contract is checked on; this is the
+    corpus-quality surface an LLM pipeline feeds to the tokenizer."""
+    parser = _BlockCollector()
+    try:
+        parser.feed(_decode(html))
+        parser.close()
+    except Exception:
+        pass
+    parser._flush()
+    kept = [
+        text
+        for text, anchor_chars in parser.blocks
+        if len(text) >= min_block_chars
+        and anchor_chars <= max_link_density * len(text)
+    ]
+    return "\n".join(kept)

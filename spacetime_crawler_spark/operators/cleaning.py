@@ -176,3 +176,27 @@ SELECT k.doc_id,
 FROM kept k JOIN totals t USING (doc_id)
 GROUP BY k.doc_id
 """
+
+
+# --- boilerplate removal --------------------------------------------------------
+
+def strip_boilerplate(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Boilerplate removal over raw HTML: appends ``text_main`` — the
+    pinned ``extract_main_content`` link-density rule (jusText/boilerpipe
+    family: keep a text block iff it is long enough AND link-sparse
+    enough) — plus ``main_chars``.  This is the corpus-quality text
+    surface an LLM pipeline tokenizes; F9's ``extract_text`` remains the
+    byte-identity crawl-contract surface and is untouched.
+
+    Scale shape: map-only — one Arrow-batched pandas UDF fused with the
+    scan (HTML parsing is the one unavoidable Python crossing, same as
+    F8/F9); no shuffle, no driver work, survivors stream straight into
+    clean_lines_c4 / the quality gate.  Not SQL-expressible (HTML
+    parsing), so no DuckDB oracle: pinned instead by pure-function
+    goldens and a Spark↔pure differential over the synthetic world
+    (tests/test_cleaning.py)."""
+    from spacetime_crawler_spark.operators.udfs import main_content_udf
+
+    return pages.withColumn(
+        "text_main", main_content_udf(F.col(html_col))
+    ).withColumn("main_chars", F.length("text_main").cast("int"))

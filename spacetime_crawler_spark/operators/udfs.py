@@ -1,4 +1,4 @@
-"""The engine's ONLY Python↔JVM crossings: six Arrow-batched pandas UDFs
+"""The engine's ONLY Python↔JVM crossings: seven Arrow-batched pandas UDFs
 wrapping the pinned pure functions (BASELINE.json input_hint: vectorized
 pandas/Arrow UDFs, no per-row Python — i.e. no F.udf anywhere).
 
@@ -107,3 +107,15 @@ def anchor_extract_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
             for h, b in zip(html, base_url)
         ]
     )
+
+
+@F.pandas_udf(T.StringType())
+def main_content_udf(html: pd.Series) -> pd.Series:
+    """Boilerplate-stripped main content (the pinned extract_main_content
+    link-density rule) — the corpus-quality text surface, distinct from
+    the F9 byte-identity surface."""
+    from spacetime_crawler_spark.functions.textextract import (
+        extract_main_content,
+    )
+
+    return html.map(extract_main_content)

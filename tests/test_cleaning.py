@@ -106,3 +106,48 @@ def test_dedup_lines_first_occurrence_is_doc0(spark, fixture):
     assert DUP in rows[0].text_dedup
     for d in (1, 2, 5):
         assert DUP not in rows[d].text_dedup
+
+
+# --- boilerplate removal --------------------------------------------------------
+
+
+def test_strip_boilerplate_differential_vs_pure(spark):
+    """Spark operator ≡ the pinned pure function, row for row, over the
+    synthetic world's real HTML (the same differential discipline as
+    F8/F9)."""
+    from spacetime_crawler_spark.functions.textextract import extract_main_content
+    from spacetime_crawler_spark.sources.synth import generate_pages_df
+
+    pages = generate_pages_df(spark, "tiny", n_pages=80)
+    got = cleaning.strip_boilerplate(pages).select(
+        "url", "html", "text_main", "main_chars"
+    ).collect()
+    # page_rows emits revisit captures too, so rows ≥ pages
+    assert len(got) >= 80
+    for r in got:
+        want = extract_main_content(r.html)
+        assert r.text_main == want, r.url
+        assert r.main_chars == len(want)
+
+
+def test_strip_boilerplate_plan_is_map_only(spark):
+    """One Arrow crossing, zero shuffles — the operator must fuse with the
+    scan at any scale."""
+    import contextlib
+    import io as _io
+
+    from spacetime_crawler_spark.sources.synth import generate_pages_df
+
+    pages = generate_pages_df(spark, "tiny", n_pages=8)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cleaning.strip_boilerplate(pages).explain(mode="formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p, p[:2000]
+    # the synth source is a Union of two generation branches; the UDF is
+    # pushed into each branch — still exactly one crossing per row
+    import re
+
+    n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", p))
+    assert 1 <= n_arrow <= 2, p[:2000]
+    assert "BatchEvalPython" not in p, p[:2000]

@@ -145,3 +145,81 @@ def test_extract_anchors_href_sequence_equals_extract_links():
     for html in cases:
         urls = [u for u, _ in extract_anchors(html, base)]
         assert urls == extract_links(html, base)
+
+
+# --- main-content extraction (boilerplate removal) ------------------------------
+
+
+def test_extract_main_content_goldens():
+    from spacetime_crawler_spark.functions.textextract import extract_main_content
+
+    article = (
+        "<html><body>"
+        "<nav><a href='/'>Home</a> <a href='/about'>About</a>"
+        " <a href='/contact'>Contact</a></nav>"
+        "<div class='content'>"
+        "<p>This is the first real paragraph of the article, long enough"
+        " to clear the block floor.</p>"
+        "<p>Second paragraph with a single <a href='/ref'>reference"
+        " link</a> inside a lot of prose text around it.</p>"
+        "</div>"
+        "<footer><a href='/tos'>Terms of service</a> |"
+        " <a href='/privacy'>Privacy policy</a> |"
+        " <a href='/imprint'>Imprint</a></footer>"
+        "</body></html>"
+    )
+    got = extract_main_content(article)
+    # nav and footer are short/link-dense → dropped; both paragraphs kept,
+    # joined with '\n', inline markup flattened into the block
+    assert got == (
+        "This is the first real paragraph of the article, long enough"
+        " to clear the block floor.\n"
+        "Second paragraph with a single reference link inside a lot of"
+        " prose text around it."
+    )
+
+
+def test_extract_main_content_block_floor_and_link_density():
+    from spacetime_crawler_spark.functions.textextract import (
+        MAIN_MIN_BLOCK_CHARS,
+        extract_main_content,
+    )
+
+    # below the char floor → dropped even with zero links
+    assert extract_main_content(b"<p>short</p>") == ""
+    exactly = "x" * MAIN_MIN_BLOCK_CHARS
+    assert extract_main_content(f"<p>{exactly}</p>".encode()) == exactly
+    # ~50% anchor chars → dropped; one small link in prose → kept
+    half_anchor = (
+        "<p>" + "plain words here " * 5
+        + "<a href='/x'>" + "anchor words here " * 5 + "</a></p>"
+    )
+    assert extract_main_content(half_anchor) == ""
+    # tag cloud: long overall but 100% anchor text → dropped
+    cloud = "<div>" + " ".join(
+        f"<a href='/t{i}'>tagword{i}</a>" for i in range(20)
+    ) + "</div>"
+    assert extract_main_content(cloud) == ""
+
+
+def test_extract_main_content_edge_inputs():
+    from spacetime_crawler_spark.functions.textextract import extract_main_content
+
+    assert extract_main_content(None) == ""
+    assert extract_main_content(b"") == ""
+    assert extract_main_content("caf\xe9 but far too short".encode("latin-1")) == ""
+    # script/style text never counts, even when long
+    assert extract_main_content(
+        b"<script>var a_very_long_constant_name_in_script_text = 1;</script>"
+        b"<p>This paragraph survives because scripts never count as text.</p>"
+    ) == "This paragraph survives because scripts never count as text."
+    # inline tags do NOT split a block; block tags do
+    html = (
+        b"<p>first block with <b>bold</b> and <i>italic</i> inline pieces"
+        b" all fused together.</p>"
+        b"<p>second block long enough to survive on its own terms too.</p>"
+    )
+    assert extract_main_content(html) == (
+        "first block with bold and italic inline pieces all fused together.\n"
+        "second block long enough to survive on its own terms too."
+    )
