@@ -90,7 +90,9 @@ WHERE n_lines_kept >= {MIN_KEPT_LINES}
 
 # --- global exact-line dedup --------------------------------------------------
 
-def dedup_lines_global(docs: DataFrame, min_line_chars: int = 10) -> DataFrame:
+def dedup_lines_global(
+    docs: DataFrame, min_line_chars: int = 10, delimiter: str = "\n"
+) -> DataFrame:
     """Corpus-wide exact line dedup: every line of every doc is kept only
     at its FIRST occurrence — first = smallest (doc_id, pos) over the
     line's md5 — then docs are reassembled in original line order
@@ -99,6 +101,10 @@ def dedup_lines_global(docs: DataFrame, min_line_chars: int = 10) -> DataFrame:
     collapsed).  Emits (doc_id, text_dedup, n_lines_kept, n_lines_dropped)
     for docs retaining ≥1 line.
 
+    ``delimiter`` generalizes the unit: '\\n' (default) dedups lines,
+    '\\n\\n' dedups paragraphs — see dedup_paragraphs_global.  (The value
+    is both the split regex and the rejoin string, so it must be literal.)
+
     Scale shape: the duplicate-set side is a partial+final hash agg of
     min(struct(doc_id, pos)) keyed on the 16-byte line md5 — no window,
     no per-key sort; the equi-join back meets the lines on the same md5
@@ -106,7 +112,7 @@ def dedup_lines_global(docs: DataFrame, min_line_chars: int = 10) -> DataFrame:
     bounded by a single document's line count."""
     lines = docs.select(
         "doc_id",
-        F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+        F.posexplode(F.split("text", delimiter)).alias("pos", "line"),
     )
     long_lines = lines.where(F.length("line") >= F.lit(min_line_chars))
     firsts = long_lines.groupBy(F.md5("line").alias("k")).agg(
@@ -123,7 +129,8 @@ def dedup_lines_global(docs: DataFrame, min_line_chars: int = 10) -> DataFrame:
     short_lines = lines.where(F.length("line") < F.lit(min_line_chars))
     kept = kept_long.unionByName(short_lines)
     n_total = docs.select(
-        "doc_id", F.size(F.split("text", "\n")).cast("int").alias("n_lines")
+        "doc_id",
+        F.size(F.split("text", delimiter)).cast("int").alias("n_lines"),
     )
     out = (
         kept.groupBy("doc_id")
@@ -133,7 +140,7 @@ def dedup_lines_global(docs: DataFrame, min_line_chars: int = 10) -> DataFrame:
                     F.array_sort(F.collect_list(F.struct("pos", "line"))),
                     lambda s: s["line"],
                 ),
-                "\n",
+                delimiter,
             ).alias("text_dedup"),
             F.count(F.lit(1)).cast("int").alias("n_lines_kept"),
         )
@@ -150,11 +157,21 @@ def dedup_lines_global(docs: DataFrame, min_line_chars: int = 10) -> DataFrame:
     return out
 
 
+def dedup_paragraphs_global(
+    docs: DataFrame, min_paragraph_chars: int = 10
+) -> DataFrame:
+    """Corpus-wide exact PARAGRAPH dedup ('\\n\\n' units) — the
+    MassiveText variant of dedup_lines_global; identical plan shape."""
+    return dedup_lines_global(docs, min_paragraph_chars, delimiter="\n\n")
+
+
+# DuckDB mirror — format with min_chars and delim (a SQL expression,
+# e.g. "chr(10)" for lines or "chr(10)||chr(10)" for paragraphs).
 DEDUP_LINES_SQL = """
 WITH lines AS (
   SELECT doc_id,
-         CAST(generate_subscripts(string_split(text, chr(10)), 1) - 1 AS BIGINT) AS pos,
-         unnest(string_split(text, chr(10))) AS line
+         CAST(generate_subscripts(string_split(text, {delim}), 1) - 1 AS BIGINT) AS pos,
+         unnest(string_split(text, {delim})) AS line
   FROM docs
 ), ranked AS (
   SELECT doc_id, pos, line,
@@ -166,11 +183,11 @@ WITH lines AS (
 ), kept AS (
   SELECT doc_id, pos, line FROM ranked WHERE rn = 1
 ), totals AS (
-  SELECT doc_id, CAST(len(string_split(text, chr(10))) AS INT) AS n_lines
+  SELECT doc_id, CAST(len(string_split(text, {delim})) AS INT) AS n_lines
   FROM docs
 )
 SELECT k.doc_id,
-       string_agg(k.line, chr(10) ORDER BY k.pos) AS text_dedup,
+       string_agg(k.line, {delim} ORDER BY k.pos) AS text_dedup,
        CAST(COUNT(*) AS INT) AS n_lines_kept,
        CAST(ANY_VALUE(t.n_lines) - COUNT(*) AS INT) AS n_lines_dropped
 FROM kept k JOIN totals t USING (doc_id)
@@ -200,3 +217,65 @@ def strip_boilerplate(pages: DataFrame, html_col: str = "html") -> DataFrame:
     return pages.withColumn(
         "text_main", main_content_udf(F.col(html_col))
     ).withColumn("main_chars", F.length("text_main").cast("int"))
+
+
+# --- PII redaction --------------------------------------------------------------
+
+# Pinned spec: three conservative ASCII patterns applied IN ORDER (email →
+# IPv4 → phone); each stage counts its matches on the text as produced by
+# the previous stage, so a '+digits' run inside an email local part is
+# redacted as part of the email and never double-counted as a phone.
+# Patterns are the RE2∩Java-regex common subset (no lookaround, no
+# backreferences) so the Spark engine and the DuckDB oracle compile them
+# identically.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9][0-9 ()./\-]{6,18}[0-9]"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the standard webtext-corpus scrub (emails, IPv4
+    addresses, international phone numbers → <EMAIL>/<IP>/<PHONE>
+    placeholders) with per-kind match counts and a has_pii flag.
+
+    Scale shape: entirely map-only — three native regexp_replace /
+    regexp_count stages inside whole-stage codegen; no UDF, no shuffle,
+    no driver work.  At 100 TB this runs inside the scan stage alongside
+    clean_lines_c4."""
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    n_emails = F.regexp_count(t0, F.lit(PII_EMAIL_RE)).cast("int")
+    n_ips = F.regexp_count(t1, F.lit(PII_IPV4_RE)).cast("int")
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE_RE)).cast("int")
+    return docs.select(
+        "doc_id",
+        t3.alias("text_redacted"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        ((n_emails + n_ips + n_phones) > F.lit(0)).alias("has_pii"),
+    )
+
+
+# DuckDB mirror over a `docs` view (doc_id, text) — same staged spec.
+REDACT_PII_SQL = (
+    "WITH s1 AS (\n"
+    "  SELECT doc_id,\n"
+    f"         CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INT) AS n_emails,\n"
+    f"         regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1\n"
+    "  FROM docs\n"
+    "), s2 AS (\n"
+    "  SELECT doc_id, n_emails,\n"
+    f"         CAST(len(regexp_extract_all(t1, '{PII_IPV4_RE}')) AS INT) AS n_ips,\n"
+    f"         regexp_replace(t1, '{PII_IPV4_RE}', '<IP>', 'g') AS t2\n"
+    "  FROM s1\n"
+    ")\n"
+    "SELECT doc_id,\n"
+    f"       regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g') AS text_redacted,\n"
+    "       n_emails, n_ips,\n"
+    f"       CAST(len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS INT) AS n_phones,\n"
+    f"       (n_emails + n_ips + CAST(len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS INT)) > 0 AS has_pii\n"
+    "FROM s2\n"
+)

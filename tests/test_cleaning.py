@@ -74,7 +74,9 @@ def test_clean_lines_c4_is_map_only(spark, fixture):
 def test_dedup_lines_global_matches_duckdb(spark, fixture):
     docs, con = fixture
     got = cleaning.dedup_lines_global(docs)
-    oracle = con.sql(cleaning.DEDUP_LINES_SQL.format(min_chars=10)).df()
+    oracle = con.sql(
+        cleaning.DEDUP_LINES_SQL.format(min_chars=10, delim="chr(10)")
+    ).df()
     assert compare(got, oracle) == []
 
 
@@ -151,3 +153,96 @@ def test_strip_boilerplate_plan_is_map_only(spark):
     n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", p))
     assert 1 <= n_arrow <= 2, p[:2000]
     assert "BatchEvalPython" not in p, p[:2000]
+
+
+# --- PII redaction --------------------------------------------------------------
+
+PII_DOCS = [
+    (0, "contact me at john.doe+spam@example.co.uk or call +1 (415) 555-0123 now."),
+    (1, "server at 192.168.1.254 responded; version 1.2.3.4.5 is odd"),
+    (2, "no pii here at all, just text."),
+    (3, "a@b.io end +4930 1234567"),
+    # '+digits' inside an email local part: redacted WITH the email,
+    # never double-counted as a phone
+    (4, "mail john+4930123456@example.com today"),
+    (5, "two mails x@y.de z@w.fr one ip 10.0.0.1 one phone +33 1 23 45 67 89"),
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def pii_fixture(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pii") / "docs.parquet")
+    spark.createDataFrame(PII_DOCS, "doc_id long, text string").coalesce(1).write.parquet(path)
+    docs = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW docs AS SELECT * FROM '{path}/*.parquet'")
+    yield docs, con
+    con.close()
+
+
+def test_redact_pii_matches_duckdb(spark, pii_fixture):
+    docs, con = pii_fixture
+    got = cleaning.redact_pii(docs)
+    oracle = con.sql(cleaning.REDACT_PII_SQL).df()
+    assert compare(got, oracle) == []
+
+
+def test_redact_pii_semantics(spark, pii_fixture):
+    docs, _ = pii_fixture
+    rows = {r.doc_id: r for r in cleaning.redact_pii(docs).collect()}
+    assert rows[0].text_redacted == "contact me at <EMAIL> or call <PHONE> now."
+    assert (rows[0].n_emails, rows[0].n_ips, rows[0].n_phones) == (1, 0, 1)
+    # greedy first-four-octets IP behavior is pinned
+    assert rows[1].text_redacted == "server at <IP> responded; version <IP>.5 is odd"
+    assert rows[2].text_redacted == PII_DOCS[2][1] and not rows[2].has_pii
+    # email swallows its embedded '+digits' run: zero phones in doc 4
+    assert rows[4].text_redacted == "mail <EMAIL> today"
+    assert rows[4].n_phones == 0 and rows[4].n_emails == 1
+    assert (rows[5].n_emails, rows[5].n_ips, rows[5].n_phones) == (2, 1, 1)
+    assert rows[6].text_redacted == "" and not rows[6].has_pii
+
+
+def test_redact_pii_plan_is_map_only(spark, pii_fixture):
+    import contextlib
+    import io as _io
+
+    docs, _ = pii_fixture
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cleaning.redact_pii(docs).explain(mode="formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p, p[:2000]
+    assert "EvalPython" not in p, p[:2000]
+
+
+# --- paragraph-level dedup ------------------------------------------------------
+
+PARA = "a paragraph of boilerplate text\nthat spans two physical lines and repeats."
+
+PARA_DOCS = [
+    (0, f"{PARA}\n\nunique first-document paragraph, long enough to count."),
+    (1, f"intro paragraph only in document one.\n\n{PARA}"),
+    (2, f"{PARA}\n\n--\n\n{PARA}"),  # short separator passes through
+]
+
+
+def test_dedup_paragraphs_global(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("paras") / "docs.parquet")
+    spark.createDataFrame(PARA_DOCS, "doc_id long, text string").coalesce(1).write.parquet(path)
+    docs = spark.read.parquet(path)
+    got = cleaning.dedup_paragraphs_global(docs)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW docs AS SELECT * FROM '{path}/*.parquet'")
+    oracle = con.sql(
+        cleaning.DEDUP_LINES_SQL.format(min_chars=10, delim="chr(10)||chr(10)")
+    ).df()
+    assert compare(got, oracle) == []
+    con.close()
+    rows = {r.doc_id: r for r in got.collect()}
+    # the repeated multi-line paragraph survives only in doc 0 — a LINE
+    # dedup could never see it as one unit
+    assert PARA in rows[0].text_dedup
+    assert PARA not in rows[1].text_dedup and PARA not in rows[2].text_dedup
+    # doc 2 lost both copies but keeps its short separator
+    assert rows[2].n_lines_dropped == 2 and rows[2].text_dedup == "--"
