@@ -381,3 +381,65 @@ FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
       < (CASE {_SAMPLE_CASE_DUCK} ELSE '{_SAMPLE_DEFAULT_HEX}' END)
 """
+
+
+# --- web ingest composite -------------------------------------------------------
+
+def pipeline_web_ingest(pages: DataFrame) -> DataFrame:
+    """Raw crawled/WARC pages → training-ready documents: the composite
+    that ties the crawl surface to the curation surface.
+
+        pages (url, html, …)
+          → boilerplate removal  (strip_boilerplate — link-density rule)
+          → PII redaction        (redact_pii — <EMAIL>/<IP>/<PHONE>)
+          → C4 line cleaning     (clean_lines_c4 — terminal punctuation,
+                                  ≥5 words, no javascript; doc floor)
+          → language annotation  (annotate_lang — reliable-only, else NULL)
+
+    emitting (url, lang, text, n_tokens) ready for the dedup/budget/
+    packing stages of pipeline_training_set.
+
+    Input is one capture per url (crawl/F5 output); revisit collapsing is
+    the as-of join's job, not re-done here.  Note the synthetic world's
+    pages are punctuation-free word soup, so over synth input the C4
+    stage correctly drops everything — the non-vacuous end-to-end check
+    is the crafted HTML fixture in tests/test_cleaning.py.
+
+    Scale shape: every stage is map-only (one Arrow crossing for the HTML
+    parse, then native exprs) — the whole composite runs inside the scan
+    stage with zero shuffles, so at 100 TB it is IO-bound by
+    construction.  Cross-engine pinned end-to-end: the test recomputes
+    the full chain as pure-python extract_main_content → DuckDB
+    REDACT_PII_SQL → DuckDB CLEAN_LINES_SQL and hash-compares
+    (tests/test_cleaning.py)."""
+    from spacetime_crawler_spark.operators.cleaning import (
+        clean_lines_c4,
+        redact_pii,
+    )
+    from spacetime_crawler_spark.operators.textstats import annotate_lang
+    from spacetime_crawler_spark.operators.udfs import main_content_udf
+
+    # The parse UDF is marked nondeterministic HERE (it is in fact pure —
+    # see the pinned extract_main_content) purely as a pushdown barrier:
+    # clean_lines_c4's doc-floor Filter otherwise gets pushed through the
+    # projection and Catalyst duplicates the UDF call on both sides of the
+    # Filter — two ArrowEvalPython nodes, every page parsed twice
+    # (verified via explain; the plan test pins exactly one).
+    parse_once = main_content_udf.asNondeterministic()
+    main = pages.select(
+        F.col("url").alias("doc_id"),
+        parse_once(F.col("html")).alias("text"),
+    )
+    red = redact_pii(main).select(
+        "doc_id", F.col("text_redacted").alias("text")
+    )
+    cleaned = clean_lines_c4(red).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    out = annotate_lang(cleaned, text_col="text", lang_col="lang")
+    return out.select(
+        F.col("doc_id").alias("url"),
+        "lang",
+        "text",
+        F.expr(SPARK_N_TOKENS).alias("n_tokens"),
+    )

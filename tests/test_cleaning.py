@@ -246,3 +246,102 @@ def test_dedup_paragraphs_global(spark, tmp_path_factory):
     assert PARA not in rows[1].text_dedup and PARA not in rows[2].text_dedup
     # doc 2 lost both copies but keeps its short separator
     assert rows[2].n_lines_dropped == 2 and rows[2].text_dedup == "--"
+
+
+# --- web ingest composite -------------------------------------------------------
+
+
+def test_pipeline_web_ingest_cross_engine(spark):
+    """Full chain pinned across engines: Spark composite ≡ pure-python
+    extract_main_content → DuckDB REDACT_PII_SQL → DuckDB CLEAN_LINES_SQL,
+    hash-compared on (url, text, n_tokens); lang asserted separately
+    (heuristic argmax isn't SQL)."""
+    from datetime import datetime, timezone
+
+    from spacetime_crawler_spark.functions.textextract import extract_main_content
+    from spacetime_crawler_spark.operators.pipeline import pipeline_web_ingest
+    from spacetime_crawler_spark.operators.textstats import _DUCK_TOKENS
+
+    NAV = ("<nav><a href='/'>Home</a> <a href='/a'>About</a>"
+           " <a href='/c'>Contact</a></nav>")
+    FOOT = ("<footer><a href='/t'>Terms</a> <a href='/p'>Privacy</a>"
+            " <a href='/i'>Imprint</a></footer>")
+    PAGES = [
+        # A: survives everything; carries every PII kind
+        ("http://a.example.com/article", NAV
+         + "<p>This is a long and entirely ordinary english sentence for testing.</p>"
+         + "<p>You can write to john.doe@example.com whenever you like of course.</p>"
+         + "<p>The server at 10.0.0.1 answered the call from +1 (415) 555-0123 promptly.</p>"
+         + FOOT),
+        # B: link farm — boilerplate removal leaves nothing
+        ("http://b.example.com/links", "<div>" + " ".join(
+            f"<a href='/x{i}'>linkword{i}</a>" for i in range(30)) + "</div>"),
+        # C: real prose but no terminal punctuation — C4 drops every line
+        ("http://c.example.com/raw", "<p>first line of prose without any ending</p>"
+         "<p>second line of prose without any ending</p>"
+         "<p>third line of prose without any ending</p>"),
+        # D: survives C4 but no language is reliably identifiable
+        ("http://d.example.com/gibberish",
+         "<p>zq wv xk pj qq rr tt yy uu ii oo pp.</p>" * 3),
+    ]
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    pages = spark.createDataFrame(
+        [(u, ts, h.encode(), None, None) for u, h in PAGES],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    got = pipeline_web_ingest(pages)
+
+    # oracle chain in DuckDB over the pure-python boilerplate stage
+    import pandas as pd
+
+    stage0 = pd.DataFrame(
+        [{"doc_id": u, "text": extract_main_content(h.encode())}
+         for u, h in PAGES if extract_main_content(h.encode())]
+    )
+    con = duckdb.connect()
+    con.register("stage0", stage0)
+    con.sql("CREATE VIEW docs AS SELECT * FROM stage0")
+    red = con.sql(cleaning.REDACT_PII_SQL).df()[["doc_id", "text_redacted"]]
+    con.sql("DROP VIEW docs")
+    con.register("red", red)
+    con.sql("CREATE VIEW docs AS SELECT doc_id, text_redacted AS text FROM red")
+    want = con.sql(
+        "SELECT doc_id AS url, text_clean AS text,"
+        f" CAST(len({_DUCK_TOKENS.replace('text', 'text_clean')}) AS INT) AS n_tokens"
+        f" FROM ({cleaning.CLEAN_LINES_SQL})"
+    ).df()
+    assert compare(got.drop("lang"), want) == []
+    con.close()
+
+    rows = {r.url: r for r in got.collect()}
+    assert set(rows) == {PAGES[0][0], PAGES[3][0]}
+    a = rows[PAGES[0][0]]
+    assert a.lang == "en"
+    assert "<EMAIL>" in a.text and "<IP>" in a.text and "<PHONE>" in a.text
+    assert "john.doe" not in a.text and "10.0.0.1" not in a.text
+    assert "Home" not in a.text and "Terms" not in a.text  # boilerplate gone
+    assert rows[PAGES[3][0]].lang is None  # unreliable call stays NULL
+
+
+def test_pipeline_web_ingest_plan_is_map_only(spark):
+    """The whole composite must stay inside the scan stage: no shuffle,
+    one Arrow crossing for the HTML parse."""
+    import contextlib
+    import io as _io
+    import re
+    from datetime import datetime, timezone
+
+    from spacetime_crawler_spark.operators.pipeline import pipeline_web_ingest
+
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    pages = spark.createDataFrame(
+        [("http://x.com/", ts, b"<p>x</p>", None, None)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pipeline_web_ingest(pages).explain(mode="formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p, p[:2000]
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1, p[:2000]
+    assert "BatchEvalPython" not in p, p[:2000]
