@@ -812,3 +812,125 @@ SELECT s.doc_id, COUNT(*) AS n_eval_hits
 FROM s JOIN e ON s.span = e.span
 GROUP BY s.doc_id ORDER BY s.doc_id
 """
+
+
+# --- duplicate-span REMOVAL -----------------------------------------------------
+
+def remove_duplicate_spans(
+    docs: DataFrame, span_tokens: int = SPAN_TOKENS
+) -> DataFrame:
+    """Corpus-wide exact span REMOVAL — the transform counterpart of
+    dedup_span_stats: every full span_tokens-token window of every doc
+    survives only at its FIRST occurrence (smallest (doc_id, pos) over
+    the window's md5); losers are cut from the text and the doc is
+    reassembled from its surviving windows in original order.  Partial
+    tail windows (< span_tokens tokens) pass through untouched — short
+    fragments collide spuriously and the tail is never boilerplate-sized.
+    Emits (doc_id, text_spandedup, n_spans_kept, n_spans_dropped) for
+    docs retaining ≥1 window.
+
+    Pinned spec: tokens = whitespace runs of the ORIGINAL text (case
+    preserved — this rewrites the corpus, unlike the lowercased signal
+    keys of dedup_span_stats); reassembly joins windows with single
+    spaces, i.e. inter-token whitespace is normalized.
+
+    Scale shape: identical to dedup_lines_global — the duplicate set is
+    a partial+final hash agg of min(struct(doc_id, pos)) keyed on the
+    32-char span md5 (no window sort), the equi-join back meets the
+    spans on the same md5 partitioning, and reassembly is one
+    groupBy(doc_id) bounded by a single document's span count.  Shuffles
+    carry hashes and span texts only after the dup decision, never whole
+    documents."""
+    s = int(span_tokens)
+    toks = "filter(split(text, '\\\\s+'), x -> x != '')"
+    spans = (
+        f"case when size(t) = 0 then array() else"
+        f" transform(sequence(0, cast(floor((size(t) - 1) / {s}) as int)),"
+        f" i -> concat_ws(' ', slice(t, i * {s} + 1, {s}))) end"
+    )
+    units = docs.select(
+        "doc_id", F.expr(toks).alias("t")
+    ).select(
+        "doc_id",
+        F.size("t").alias("nt"),
+        F.posexplode(F.expr(spans)).alias("pos", "span"),
+    )
+    full = units.where((F.col("pos") + 1) * s <= F.col("nt"))
+    firsts = full.groupBy(F.md5("span").alias("k")).agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    kept_full = (
+        full.join(firsts, F.md5(F.col("span")) == F.col("k"))
+        .where(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+        .select("doc_id", "pos", "span")
+    )
+    tails = units.where((F.col("pos") + 1) * s > F.col("nt")).select(
+        "doc_id", "pos", "span"
+    )
+    kept = kept_full.unionByName(tails)
+    totals = units.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans")
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                    lambda x: x["span"],
+                ),
+                " ",
+            ).alias("text_spandedup"),
+            F.count(F.lit(1)).cast("int").alias("n_spans_kept"),
+        )
+        .join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "text_spandedup",
+            "n_spans_kept",
+            (F.col("n_spans") - F.col("n_spans_kept"))
+            .cast("int")
+            .alias("n_spans_dropped"),
+        )
+    )
+
+
+REMOVE_DUPLICATE_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM docs
+), arr AS (
+  SELECT doc_id, len(t) AS nt,
+         CASE WHEN len(t) = 0 THEN [] ELSE
+           list_transform(generate_series(0, CAST(floor((len(t) - 1) / {SPAN_TOKENS}) AS INT)),
+             i -> array_to_string(t[i * {SPAN_TOKENS} + 1 : i * {SPAN_TOKENS} + {SPAN_TOKENS}], ' '))
+         END AS spans
+  FROM toks
+), units AS (
+  SELECT doc_id, nt,
+         CAST(generate_subscripts(spans, 1) - 1 AS BIGINT) AS pos,
+         unnest(spans) AS span
+  FROM arr
+), ranked AS (
+  SELECT doc_id, pos, span,
+         CASE WHEN (pos + 1) * {SPAN_TOKENS} <= nt
+              THEN row_number() OVER (PARTITION BY md5(span)
+                                      ORDER BY doc_id, pos)
+              ELSE 1 END AS rn
+  FROM units
+), kept AS (
+  SELECT doc_id, pos, span FROM ranked WHERE rn = 1
+), totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_spans FROM units GROUP BY doc_id
+)
+SELECT k.doc_id,
+       string_agg(k.span, ' ' ORDER BY k.pos) AS text_spandedup,
+       CAST(COUNT(*) AS INT) AS n_spans_kept,
+       CAST(ANY_VALUE(t.n_spans) - COUNT(*) AS INT) AS n_spans_dropped
+FROM kept k JOIN totals t USING (doc_id)
+GROUP BY k.doc_id
+"""

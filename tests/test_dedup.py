@@ -411,3 +411,57 @@ def test_pack_sequences_matches_pure_python(spark):
     overfull = [k for k, v in seq_tokens.items() if v > MAX]
     assert all(seq_len[k] == 1 for k in overfull)  # only oversized singletons
     assert len(seq_tokens) > 1  # packing actually split sequences
+
+
+# --- duplicate-span removal -----------------------------------------------------
+
+
+def test_remove_duplicate_spans(spark, tmp_path_factory):
+    """First-occurrence span removal vs the DuckDB row_number oracle, over
+    a fixture with a cross-doc repeated 16-token block, a within-doc
+    repeat, case preservation, and partial-tail pass-through."""
+    import duckdb
+
+    from spacetime_crawler_spark.operators.dedup import (
+        REMOVE_DUPLICATE_SPANS_SQL,
+        SPAN_TOKENS,
+        remove_duplicate_spans,
+    )
+    from tests.oracle_harness import compare
+
+    # one full window = SPAN_TOKENS tokens exactly
+    BLOCK = " ".join(f"Word{i:02d}" for i in range(SPAN_TOKENS))
+    OTHER = " ".join(f"other{i:02d}" for i in range(SPAN_TOKENS))
+    docs_rows = [
+        # doc 0 owns BLOCK's first occurrence; tail of 3 tokens passes through
+        (0, f"{BLOCK} tail bits here"),
+        # doc 1 repeats BLOCK (dropped) around its own unique window (kept)
+        (1, f"{BLOCK} {OTHER}"),
+        # doc 2 repeats BLOCK twice within itself — both copies lose to doc 0
+        (2, f"{BLOCK}  {BLOCK}"),
+        # doc 3: only a short fragment — single partial window, untouched
+        (3, "just a few words"),
+        (4, ""),
+    ]
+    path = str(tmp_path_factory.mktemp("spans") / "docs.parquet")
+    spark.createDataFrame(docs_rows, "doc_id long, text string").coalesce(1).write.parquet(path)
+    docs = spark.read.parquet(path)
+    got = remove_duplicate_spans(docs)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW docs AS SELECT * FROM '{path}/*.parquet'")
+    assert compare(got, con.sql(REMOVE_DUPLICATE_SPANS_SQL).df()) == []
+    con.close()
+
+    rows = {r.doc_id: r for r in got.collect()}
+    # doc 2 lost BOTH its (full, duplicated) windows → retains nothing →
+    # absent, like the empty doc 4 (the ≥1-surviving-window rule)
+    assert set(rows) == {0, 1, 3}
+    assert rows[0].text_spandedup == f"{BLOCK} tail bits here"
+    assert rows[0].n_spans_dropped == 0
+    # doc 1 lost BLOCK, kept its unique window — original case preserved
+    assert rows[1].text_spandedup == OTHER
+    assert rows[1].n_spans_dropped == 1 and "Word00" not in rows[1].text_spandedup
+    assert "other00" in rows[1].text_spandedup
+    # partial window passes through untouched
+    assert rows[3].text_spandedup == "just a few words"
+    assert rows[3].n_spans_dropped == 0
