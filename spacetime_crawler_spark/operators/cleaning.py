@@ -279,3 +279,106 @@ REDACT_PII_SQL = (
     f"       (n_emails + n_ips + CAST(len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS INT)) > 0 AS has_pii\n"
     "FROM s2\n"
 )
+
+
+# --- blocklist (badwords) gate --------------------------------------------------
+
+# Demo default — real deployments inject their own list (C4 uses the
+# externally-maintained "bad words" list; shipping one here would pin
+# slurs into the codebase).  The MECHANISM is what's pinned and tested.
+BLOCKLIST_DEFAULT = ("badterm", "blockedword", "forbiddenphrase")
+
+
+def filter_blocklist(
+    docs: DataFrame, terms: tuple[str, ...] = BLOCKLIST_DEFAULT
+) -> DataFrame:
+    """C4-style blocklist gate: flag a doc iff any lowercased
+    whitespace-token — after trimming surrounding ASCII punctuation —
+    equals a blocked term.  Token-equality (not substring / regex) is
+    deliberate: list terms need no escaping, 'class' never matches a
+    blocked 'ass', and the check is one array intersect; the punctuation
+    trim makes 'badterm.' and '(badterm)' hit.
+
+    Emits (doc_id, n_blocked_hits, blocked) — a flag surface, so callers
+    choose drop vs quarantine vs audit.
+
+    Scale shape: map-only — split + higher-order filter against a literal
+    array, inside whole-stage codegen; no shuffle, no UDF."""
+    toks = (
+        "filter(transform(split(lower(text), '\\\\s+'),"
+        " x -> trim(BOTH '.,;:!?\"()[]' FROM x)), x -> x != '')"
+    )
+    lits = ", ".join("'" + t.lower().replace("'", "''") + "'" for t in terms)
+    hits = F.expr(f"size(filter({toks}, x -> x IN ({lits})))").cast("int")
+    return docs.select(
+        "doc_id",
+        hits.alias("n_blocked_hits"),
+        (hits > F.lit(0)).alias("blocked"),
+    )
+
+
+def blocklist_sql(terms: tuple[str, ...] = BLOCKLIST_DEFAULT) -> str:
+    lits = ", ".join("'" + t.lower().replace("'", "''") + "'" for t in terms)
+    toks = (
+        "list_filter(list_transform(regexp_split_to_array(lower(text), '\\s+'),"
+        " x -> trim(x, '.,;:!?\"()[]')), x -> x <> '')"
+    )
+    return f"""
+SELECT doc_id,
+       CAST(len(list_filter({toks}, x -> x IN ({lits}))) AS INT) AS n_blocked_hits,
+       len(list_filter({toks}, x -> x IN ({lits}))) > 0 AS blocked
+FROM docs
+"""
+
+
+# --- text normalization ---------------------------------------------------------
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Whitespace/control normalization — the pre-tokenizer scrub every
+    webtext pipeline runs.  Pinned spec, applied in order:
+
+      1. delete C0 control chars except \\t and \\n (plus DEL \\x7f)
+      2. collapse runs of spaces/tabs to one space
+      3. trim spaces around newlines (' *\\n *' → '\\n')
+      4. collapse 3+ consecutive newlines to exactly two
+      5. trim leading/trailing whitespace
+
+    No backreferences or lookaround in any pattern, so Java regex (Spark)
+    and RE2 (DuckDB oracle) compile them identically.  Unicode NFC is
+    deliberately OUT of spec: Spark has no native normalizer, and a
+    pandas-UDF crossing for it would cost more than it cleans on
+    already-UTF-8 crawl text; documents needing NFC should normalize at
+    ingest.  Emits (doc_id, text_norm, n_chars_removed).
+
+    Scale shape: map-only regexp chain inside whole-stage codegen."""
+    t0 = F.col("text")
+    t1 = F.regexp_replace(t0, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    t2 = F.regexp_replace(t1, r"[ \t]+", " ")
+    t3 = F.regexp_replace(t2, r" *\n *", "\n")
+    t4 = F.regexp_replace(t3, r"\n{3,}", "\n\n")
+    t5 = F.trim(t4)
+    return docs.select(
+        "doc_id",
+        t5.alias("text_norm"),
+        (F.length(t0) - F.length(t5)).cast("int").alias("n_chars_removed"),
+    )
+
+
+# NB: RE2 replacement strings do not interpret '\n' (it is silently
+# dropped) — newline insertions must be chr(10) SQL expressions.
+NORMALIZE_TEXT_SQL = r"""
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               '[ \t]+', ' ', 'g'),
+             ' *\n *', chr(10), 'g'),
+           '\n{3,}', chr(10)||chr(10), 'g')) AS text_norm
+  FROM docs
+)
+SELECT doc_id, text_norm,
+       CAST(len(text) - len(text_norm) AS INT) AS n_chars_removed
+FROM n
+"""

@@ -345,3 +345,76 @@ def test_pipeline_web_ingest_plan_is_map_only(spark):
     assert "Exchange" not in p, p[:2000]
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1, p[:2000]
     assert "BatchEvalPython" not in p, p[:2000]
+
+
+# --- blocklist gate -------------------------------------------------------------
+
+
+def test_filter_blocklist(spark, tmp_path_factory):
+    BDOCS = [
+        (0, "perfectly ordinary text with nothing wrong."),
+        (1, "contains badterm right here."),
+        (2, "BadTerm capitalized and blockedword twice blockedword."),
+        # substring is NOT a hit — token equality only
+        (3, "notabadterm and badterms are different tokens."),
+        # surrounding punctuation is trimmed before the compare
+        (5, "quoted (badterm) and terminal badterm. both hit"),
+        (4, ""),
+    ]
+    path = str(tmp_path_factory.mktemp("block") / "docs.parquet")
+    spark.createDataFrame(BDOCS, "doc_id long, text string").coalesce(1).write.parquet(path)
+    docs = spark.read.parquet(path)
+    got = cleaning.filter_blocklist(docs)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW docs AS SELECT * FROM '{path}/*.parquet'")
+    assert compare(got, con.sql(cleaning.blocklist_sql()).df()) == []
+    con.close()
+    rows = {r.doc_id: r for r in got.collect()}
+    assert [rows[i].blocked for i in range(6)] == [False, True, True, False, False, True]
+    assert rows[2].n_blocked_hits == 3  # BadTerm + blockedword ×2 (one with a trailing period)
+    assert rows[5].n_blocked_hits == 2
+
+
+# --- text normalization ---------------------------------------------------------
+
+
+def test_normalize_text(spark, tmp_path_factory):
+    NDOCS = [
+        (0, "plain text stays put.\nsecond line."),
+        (1, "tabs\tand   runs  of \t spaces"),
+        (2, "spaces around  \n   newlines\n\n\n\n\ntoo many blanks"),
+        (3, "ctrl\x00chars\x08gone\x1f but \ttab-as-space and newline\nstay"),
+        (4, "   leading and trailing   "),
+        (5, ""),
+    ]
+    path = str(tmp_path_factory.mktemp("norm") / "docs.parquet")
+    spark.createDataFrame(NDOCS, "doc_id long, text string").coalesce(1).write.parquet(path)
+    docs = spark.read.parquet(path)
+    got = cleaning.normalize_text(docs)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW docs AS SELECT * FROM '{path}/*.parquet'")
+    assert compare(got, con.sql(cleaning.NORMALIZE_TEXT_SQL).df()) == []
+    con.close()
+    rows = {r.doc_id: r for r in got.collect()}
+    assert rows[0].text_norm == NDOCS[0][1] and rows[0].n_chars_removed == 0
+    assert rows[1].text_norm == "tabs and runs of spaces"
+    assert rows[2].text_norm == "spaces around\nnewlines\n\ntoo many blanks"
+    assert rows[3].text_norm == "ctrlcharsgone but tab-as-space and newline\nstay"
+    assert rows[4].text_norm == "leading and trailing"
+    assert rows[5].text_norm == ""
+
+
+def test_blocklist_and_normalize_plans_are_map_only(spark, tmp_path_factory):
+    import contextlib
+    import io as _io
+
+    path = str(tmp_path_factory.mktemp("mp") / "docs.parquet")
+    spark.createDataFrame([(0, "x")], "doc_id long, text string").write.parquet(path)
+    docs = spark.read.parquet(path)
+    for op in (cleaning.filter_blocklist, cleaning.normalize_text):
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            op(docs).explain(mode="formatted")
+        p = buf.getvalue()
+        assert "Exchange" not in p, (op.__name__, p[:1500])
+        assert "EvalPython" not in p, (op.__name__, p[:1500])
