@@ -58,9 +58,12 @@ BIG_CPUS = SMALL_CPUS * 4
 # (50-row artifact cap — registry.py DRIVER_QUERY_CAP) but stays in the
 # suite via the bench-local resolver below.
 # 1 = single-shot 10-query (r1-r3); 2 = min-of-2 13-query (r4);
-# 3 = r4's set + text_repetition_stats (r5) — totals compare only within a
-# version, per-query minima compare across any version
-SUITE_VERSION = 3
+# 3 = r4's set + text_repetition_stats (r5);
+# 4 = v3 + remove_duplicate_spans (r5 — the new shuffle-bearing span
+# rewrite; map-only r5 additions are deliberately not suite members, the
+# scan stage is already measured) — totals compare only within a version,
+# per-query minima compare across any version
+SUITE_VERSION = 4
 HEADLINE = [
     "a4_common_words",
     "a6_host_link_graph",
@@ -76,6 +79,7 @@ HEADLINE = [
     "text_bigrams_topk",
     "text_repetition_stats",
     "multimodal_binary_meta",
+    "remove_duplicate_spans",
 ]
 
 
@@ -109,8 +113,16 @@ def _suite_fns() -> dict:
     from spacetime_crawler_spark.operators import dedup
     from spacetime_crawler_spark.plans.registry import SPARK_QUERIES
 
+    from spacetime_crawler_spark.sources.tables import load_table
+
     fns = dict(SPARK_QUERIES)
     fns.setdefault("dedup_exact_stats", dedup.dedup_exact_stats)
+    fns.setdefault(
+        "remove_duplicate_spans",
+        lambda spark, sf_dir: dedup.remove_duplicate_spans(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ),
+    )
     return fns
 
 
