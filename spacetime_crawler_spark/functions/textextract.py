@@ -231,16 +231,30 @@ MAIN_MIN_BLOCK_CHARS = 25
 MAIN_MAX_LINK_DENSITY = 0.33
 
 
+# Tags whose CONTENT never counts as page text for the boilerplate rule:
+# script/style as everywhere else, plus <title> — title text is metadata,
+# and on essentially every real page it is ≥25 chars and link-free, so
+# without this it would be prepended to every page's "main content".
+_MAIN_SKIP_TAGS = frozenset({"script", "style", "title"})
+
+
 class _BlockCollector(HTMLParser):
     """Text blocks with per-block anchor-char counts — the input to the
     link-density boilerplate rule.  A block is the text between block-tag
     boundaries; chars inside <a> count toward its anchor total;
-    <script>/<style> text is skipped as everywhere else."""
+    <script>/<style>/<title> text is skipped.
+
+    Anchor state is a BOOLEAN with implicit close (mirroring
+    _AnchorCollector's pinned browser behavior: a new <a> closes an open
+    one, HTML forbids nesting) and a block boundary also closes any open
+    anchor — so crawled HTML with an unclosed </a> (extremely common in
+    nav markup) poisons at most its own block, never the rest of the
+    page."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self._skip_depth = 0
-        self._anchor_depth = 0
+        self._in_anchor = False
         self._chunks: list[str] = []
         self._anchor_chars = 0
         self.blocks: list[tuple[str, int]] = []
@@ -251,22 +265,23 @@ class _BlockCollector(HTMLParser):
             self.blocks.append((text, self._anchor_chars))
         self._chunks = []
         self._anchor_chars = 0
+        self._in_anchor = False  # an anchor never survives a block boundary
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        if tag in _SKIP_CONTENT_TAGS and tag not in _VOID_TAGS:
+        if tag in _MAIN_SKIP_TAGS and tag not in _VOID_TAGS:
             self._skip_depth += 1
         elif tag in _BLOCK_TAGS:
             self._flush()
         if tag == "a":
-            self._anchor_depth += 1
+            self._in_anchor = True
 
     def handle_endtag(self, tag: str) -> None:
-        if tag in _SKIP_CONTENT_TAGS and self._skip_depth > 0:
+        if tag in _MAIN_SKIP_TAGS and self._skip_depth > 0:
             self._skip_depth -= 1
         elif tag in _BLOCK_TAGS:
             self._flush()
-        if tag == "a" and self._anchor_depth > 0:
-            self._anchor_depth -= 1
+        if tag == "a":
+            self._in_anchor = False
 
     def handle_data(self, data: str) -> None:
         if self._skip_depth:
@@ -274,7 +289,7 @@ class _BlockCollector(HTMLParser):
         stripped = data.strip()
         if stripped:
             self._chunks.append(stripped)
-            if self._anchor_depth:
+            if self._in_anchor:
                 self._anchor_chars += len(stripped)
 
 

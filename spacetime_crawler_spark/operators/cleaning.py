@@ -102,17 +102,21 @@ def dedup_lines_global(
     for docs retaining ≥1 line.
 
     ``delimiter`` generalizes the unit: '\\n' (default) dedups lines,
-    '\\n\\n' dedups paragraphs — see dedup_paragraphs_global.  (The value
-    is both the split regex and the rejoin string, so it must be literal.)
+    '\\n\\n' dedups paragraphs — see dedup_paragraphs_global.  The value
+    is treated as a LITERAL both for splitting (quoted with \\Q…\\E so a
+    '.' or '|' separator cannot silently become a regex) and rejoining.
 
     Scale shape: the duplicate-set side is a partial+final hash agg of
     min(struct(doc_id, pos)) keyed on the 16-byte line md5 — no window,
     no per-key sort; the equi-join back meets the lines on the same md5
     partitioning.  Reassembly is one groupBy(doc_id) whose collect_list is
     bounded by a single document's line count."""
+    if "\\E" in delimiter:
+        raise ValueError("delimiter must not contain the \\E quote terminator")
+    delim_re = f"\\Q{delimiter}\\E"
     lines = docs.select(
         "doc_id",
-        F.posexplode(F.split("text", delimiter)).alias("pos", "line"),
+        F.posexplode(F.split("text", delim_re)).alias("pos", "line"),
     )
     long_lines = lines.where(F.length("line") >= F.lit(min_line_chars))
     firsts = long_lines.groupBy(F.md5("line").alias("k")).agg(
@@ -130,7 +134,7 @@ def dedup_lines_global(
     kept = kept_long.unionByName(short_lines)
     n_total = docs.select(
         "doc_id",
-        F.size(F.split("text", delimiter)).cast("int").alias("n_lines"),
+        F.size(F.split("text", delim_re)).cast("int").alias("n_lines"),
     )
     out = (
         kept.groupBy("doc_id")
@@ -208,14 +212,21 @@ def strip_boilerplate(pages: DataFrame, html_col: str = "html") -> DataFrame:
     Scale shape: map-only — one Arrow-batched pandas UDF fused with the
     scan (HTML parsing is the one unavoidable Python crossing, same as
     F8/F9); no shuffle, no driver work, survivors stream straight into
-    clean_lines_c4 / the quality gate.  Not SQL-expressible (HTML
-    parsing), so no DuckDB oracle: pinned instead by pure-function
-    goldens and a Spark↔pure differential over the synthetic world
-    (tests/test_cleaning.py)."""
+    clean_lines_c4 / the quality gate.  The UDF is applied through an
+    asNondeterministic pushdown barrier HERE, at the operator level (the
+    parse itself is pure — see extract_main_content): without it, any
+    caller filtering on text_main/main_chars has Catalyst push the
+    predicate through the projection and duplicate the UDF on both sides
+    of the Filter — every page parsed twice (two ArrowEvalPython nodes,
+    verified via explain; plan tests pin single-eval).  Not
+    SQL-expressible (HTML parsing), so no DuckDB oracle: pinned instead
+    by pure-function goldens and a Spark↔pure differential over the
+    synthetic world (tests/test_cleaning.py)."""
     from spacetime_crawler_spark.operators.udfs import main_content_udf
 
+    parse_once = main_content_udf.asNondeterministic()
     return pages.withColumn(
-        "text_main", main_content_udf(F.col(html_col))
+        "text_main", parse_once(F.col(html_col))
     ).withColumn("main_chars", F.length("text_main").cast("int"))
 
 
@@ -337,11 +348,13 @@ def normalize_text(docs: DataFrame) -> DataFrame:
     """Whitespace/control normalization — the pre-tokenizer scrub every
     webtext pipeline runs.  Pinned spec, applied in order:
 
-      1. delete C0 control chars except \\t and \\n (plus DEL \\x7f)
-      2. collapse runs of spaces/tabs to one space
-      3. trim spaces around newlines (' *\\n *' → '\\n')
-      4. collapse 3+ consecutive newlines to exactly two
-      5. trim leading/trailing whitespace
+      1. normalize line endings: \\r\\n and lone \\r → \\n
+      2. delete remaining C0 control chars except \\t and \\n (plus DEL)
+      3. collapse runs of spaces/tabs to one space
+      4. trim spaces around newlines (' *\\n *' → '\\n')
+      5. collapse 3+ consecutive newlines to exactly two
+      6. strip ALL leading/trailing whitespace (including newlines —
+         plain trim() only strips spaces)
 
     No backreferences or lookaround in any pattern, so Java regex (Spark)
     and RE2 (DuckDB oracle) compile them identically.  Unicode NFC is
@@ -352,11 +365,12 @@ def normalize_text(docs: DataFrame) -> DataFrame:
 
     Scale shape: map-only regexp chain inside whole-stage codegen."""
     t0 = F.col("text")
-    t1 = F.regexp_replace(t0, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
-    t2 = F.regexp_replace(t1, r"[ \t]+", " ")
-    t3 = F.regexp_replace(t2, r" *\n *", "\n")
-    t4 = F.regexp_replace(t3, r"\n{3,}", "\n\n")
-    t5 = F.trim(t4)
+    t1 = F.regexp_replace(t0, r"\r\n?", "\n")
+    t2 = F.regexp_replace(t1, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    t3 = F.regexp_replace(t2, r"[ \t]+", " ")
+    t4 = F.regexp_replace(t3, r" *\n *", "\n")
+    t5 = F.regexp_replace(t4, r"\n{3,}", "\n\n")
+    t5 = F.regexp_replace(t5, r"^\s+|\s+$", "")
     return docs.select(
         "doc_id",
         t5.alias("text_norm"),
@@ -369,13 +383,15 @@ def normalize_text(docs: DataFrame) -> DataFrame:
 NORMALIZE_TEXT_SQL = r"""
 WITH n AS (
   SELECT doc_id, text,
-         trim(regexp_replace(
+         regexp_replace(regexp_replace(
            regexp_replace(
              regexp_replace(
-               regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               regexp_replace(
+                 regexp_replace(text, '\r\n?', chr(10), 'g'),
+                 '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
                '[ \t]+', ' ', 'g'),
              ' *\n *', chr(10), 'g'),
-           '\n{3,}', chr(10)||chr(10), 'g')) AS text_norm
+           '\n{3,}', chr(10)||chr(10), 'g'), '^\s+|\s+$', '', 'g') AS text_norm
   FROM docs
 )
 SELECT doc_id, text_norm,

@@ -595,18 +595,36 @@ WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= {_COSINE_DUP_THRESHOLD}
 # hashes, not prose — the same width win a production xxhash64 key gives.
 SPAN_TOKENS = 8
 
-_SPARK_SPANS = (
-    f"case when size(t) = 0 then array() else"
-    f" transform(sequence(0, cast(floor((size(t) - 1) / {SPAN_TOKENS}) as int)),"
-    f" i -> md5(concat_ws(' ', slice(t, i * {SPAN_TOKENS} + 1, {SPAN_TOKENS}))))"
-    " end"
-)
-_DUCK_SPANS = (
-    f"CASE WHEN len(w) = 0 THEN [] ELSE"
-    f" list_transform(generate_series(0, CAST(floor((len(w) - 1) / {SPAN_TOKENS}) AS INT)),"
-    f" i -> md5(array_to_string(w[i * {SPAN_TOKENS} + 1 : i * {SPAN_TOKENS} + {SPAN_TOKENS}], ' ')))"
-    " END"
-)
+# ONE copy of the window arithmetic per engine, parameterized over the
+# token-array variable and the per-window item expression — dedup_span_stats
+# (md5 signal keys over lowercased tokens) and remove_duplicate_spans (raw
+# window text over case-preserving tokens) must never desynchronize.
+def _spark_span_windows(var: str, item: str) -> str:
+    s = SPAN_TOKENS
+    return (
+        f"case when size({var}) = 0 then array() else"
+        f" transform(sequence(0, cast(floor((size({var}) - 1) / {s}) as int)),"
+        f" i -> {item}) end"
+    )
+
+
+def _duck_span_windows(var: str, item: str) -> str:
+    s = SPAN_TOKENS
+    return (
+        f"CASE WHEN len({var}) = 0 THEN [] ELSE"
+        f" list_transform(generate_series(0, CAST(floor((len({var}) - 1) / {s}) AS INT)),"
+        f" i -> {item}) END"
+    )
+
+
+def _duck_span_slice(var: str) -> str:
+    s = SPAN_TOKENS
+    return f"array_to_string({var}[i * {s} + 1 : i * {s} + {s}], ' ')"
+
+
+_SPARK_SPAN_SLICE = f"concat_ws(' ', slice(t, i * {SPAN_TOKENS} + 1, {SPAN_TOKENS}))"
+_SPARK_SPANS = _spark_span_windows("t", f"md5({_SPARK_SPAN_SLICE})")
+_DUCK_SPANS = _duck_span_windows("w", f"md5({_duck_span_slice('w')})")
 
 
 def _doc_spans(docs: DataFrame) -> DataFrame:
@@ -816,38 +834,35 @@ GROUP BY s.doc_id ORDER BY s.doc_id
 
 # --- duplicate-span REMOVAL -----------------------------------------------------
 
-def remove_duplicate_spans(
-    docs: DataFrame, span_tokens: int = SPAN_TOKENS
-) -> DataFrame:
+def remove_duplicate_spans(docs: DataFrame) -> DataFrame:
     """Corpus-wide exact span REMOVAL — the transform counterpart of
-    dedup_span_stats: every full span_tokens-token window of every doc
+    dedup_span_stats: every full SPAN_TOKENS-token window of every doc
     survives only at its FIRST occurrence (smallest (doc_id, pos) over
     the window's md5); losers are cut from the text and the doc is
     reassembled from its surviving windows in original order.  Partial
-    tail windows (< span_tokens tokens) pass through untouched — short
+    tail windows (< SPAN_TOKENS tokens) pass through untouched — short
     fragments collide spuriously and the tail is never boilerplate-sized.
     Emits (doc_id, text_spandedup, n_spans_kept, n_spans_dropped) for
     docs retaining ≥1 window.
 
     Pinned spec: tokens = whitespace runs of the ORIGINAL text (case
     preserved — this rewrites the corpus, unlike the lowercased signal
-    keys of dedup_span_stats); reassembly joins windows with single
+    keys of dedup_span_stats); the window arithmetic is the SAME
+    _spark_span_windows builder the stats operator compiles from, so the
+    two can never desynchronize; reassembly joins windows with single
     spaces, i.e. inter-token whitespace is normalized.
 
     Scale shape: identical to dedup_lines_global — the duplicate set is
     a partial+final hash agg of min(struct(doc_id, pos)) keyed on the
     32-char span md5 (no window sort), the equi-join back meets the
-    spans on the same md5 partitioning, and reassembly is one
-    groupBy(doc_id) bounded by a single document's span count.  Shuffles
-    carry hashes and span texts only after the dup decision, never whole
-    documents."""
-    s = int(span_tokens)
+    spans on the same md5 partitioning, per-doc totals are a map-only
+    size() over the docs scan (one row per DOC, never an aggregation of
+    the exploded span relation), and reassembly is one groupBy(doc_id)
+    bounded by a single document's span count.  Shuffles carry hashes
+    and span texts only after the dup decision, never whole documents."""
+    s = SPAN_TOKENS
     toks = "filter(split(text, '\\\\s+'), x -> x != '')"
-    spans = (
-        f"case when size(t) = 0 then array() else"
-        f" transform(sequence(0, cast(floor((size(t) - 1) / {s}) as int)),"
-        f" i -> concat_ws(' ', slice(t, i * {s} + 1, {s}))) end"
-    )
+    spans = _spark_span_windows("t", _SPARK_SPAN_SLICE)
     units = docs.select(
         "doc_id", F.expr(toks).alias("t")
     ).select(
@@ -871,8 +886,14 @@ def remove_duplicate_spans(
         "doc_id", "pos", "span"
     )
     kept = kept_full.unionByName(tails)
-    totals = units.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_spans")
+    # map-only per-doc totals (the dedup_lines_global shape): size() of the
+    # window array straight off the docs scan — no aggregation of the
+    # exploded corpus-scale span relation
+    totals = docs.select(
+        "doc_id", F.expr(toks).alias("t")
+    ).select(
+        "doc_id",
+        F.size(F.expr(spans)).cast("int").alias("n_spans"),
     )
     return (
         kept.groupBy("doc_id")
@@ -905,10 +926,7 @@ WITH toks AS (
   FROM docs
 ), arr AS (
   SELECT doc_id, len(t) AS nt,
-         CASE WHEN len(t) = 0 THEN [] ELSE
-           list_transform(generate_series(0, CAST(floor((len(t) - 1) / {SPAN_TOKENS}) AS INT)),
-             i -> array_to_string(t[i * {SPAN_TOKENS} + 1 : i * {SPAN_TOKENS} + {SPAN_TOKENS}], ' '))
-         END AS spans
+         {_duck_span_windows("t", _duck_span_slice("t"))} AS spans
   FROM toks
 ), units AS (
   SELECT doc_id, nt,

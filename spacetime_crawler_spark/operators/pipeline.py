@@ -415,20 +415,15 @@ def pipeline_web_ingest(pages: DataFrame) -> DataFrame:
     from spacetime_crawler_spark.operators.cleaning import (
         clean_lines_c4,
         redact_pii,
+        strip_boilerplate,
     )
     from spacetime_crawler_spark.operators.textstats import annotate_lang
-    from spacetime_crawler_spark.operators.udfs import main_content_udf
 
-    # The parse UDF is marked nondeterministic HERE (it is in fact pure —
-    # see the pinned extract_main_content) purely as a pushdown barrier:
-    # clean_lines_c4's doc-floor Filter otherwise gets pushed through the
-    # projection and Catalyst duplicates the UDF call on both sides of the
-    # Filter — two ArrowEvalPython nodes, every page parsed twice
-    # (verified via explain; the plan test pins exactly one).
-    parse_once = main_content_udf.asNondeterministic()
-    main = pages.select(
-        F.col("url").alias("doc_id"),
-        parse_once(F.col("html")).alias("text"),
+    # strip_boilerplate carries the single-eval pushdown barrier (see its
+    # docstring): clean_lines_c4's doc-floor Filter cannot make Catalyst
+    # parse each page twice (the plan test pins exactly one ArrowEvalPython).
+    main = strip_boilerplate(pages).select(
+        F.col("url").alias("doc_id"), F.col("text_main").alias("text")
     )
     red = redact_pii(main).select(
         "doc_id", F.col("text_redacted").alias("text")

@@ -386,6 +386,10 @@ def test_normalize_text(spark, tmp_path_factory):
         (3, "ctrl\x00chars\x08gone\x1f but \ttab-as-space and newline\nstay"),
         (4, "   leading and trailing   "),
         (5, ""),
+        # review regressions: CRLF/CR normalize to \n; edge NEWLINES are
+        # stripped too (plain trim only eats spaces)
+        (6, "windows line one.\r\nwindows line two.\rclassic mac"),
+        (7, "\n\nedge newlines around the body.\n\n"),
     ]
     path = str(tmp_path_factory.mktemp("norm") / "docs.parquet")
     spark.createDataFrame(NDOCS, "doc_id long, text string").coalesce(1).write.parquet(path)
@@ -402,6 +406,8 @@ def test_normalize_text(spark, tmp_path_factory):
     assert rows[3].text_norm == "ctrlcharsgone but tab-as-space and newline\nstay"
     assert rows[4].text_norm == "leading and trailing"
     assert rows[5].text_norm == ""
+    assert rows[6].text_norm == "windows line one.\nwindows line two.\nclassic mac"
+    assert rows[7].text_norm == "edge newlines around the body." and rows[7].n_chars_removed == 4
 
 
 def test_blocklist_and_normalize_plans_are_map_only(spark, tmp_path_factory):

@@ -223,3 +223,39 @@ def test_extract_main_content_edge_inputs():
         "first block with bold and italic inline pieces all fused together.\n"
         "second block long enough to survive on its own terms too."
     )
+
+
+def test_extract_main_content_unclosed_and_nested_anchors():
+    """Crawled-HTML resilience: an unclosed </a> or nested <a> poisons at
+    most its own block — never the rest of the page (review finding:
+    anchor depth used to stick and drop every later block)."""
+    from spacetime_crawler_spark.functions.textextract import extract_main_content
+
+    PARA = "a long genuine article paragraph of prose that easily clears the floor."
+    # missing </a> inside nav: paragraph after the block boundary survives
+    assert extract_main_content(
+        f"<nav><a href='/'>menu</nav><p>{PARA}</p>"
+    ) == PARA
+    # nested <a> (HTML forbids it; browsers implicitly close): same outcome
+    assert extract_main_content(
+        f"<div><a href='/x'>one<a href='/y'>two</a></div><p>{PARA}</p>"
+    ) == PARA
+    # unclosed <a> inside the SAME block as prose: that block is judged
+    # with the anchor chars it accumulated (here 100% → dropped)
+    assert extract_main_content("<p><a href='/x'>all anchor text here always</p>") == ""
+
+
+def test_extract_main_content_skips_title():
+    """<title> is metadata, not main content — without the skip every real
+    page's title would be prepended to its body text."""
+    from spacetime_crawler_spark.functions.textextract import extract_main_content
+
+    html = (
+        "<html><head><title>Understanding Spark Shuffle Internals - A"
+        " Complete Guide</title></head><body>"
+        "<p>The actual article body paragraph, long enough to be kept.</p>"
+        "</body></html>"
+    )
+    assert extract_main_content(html) == (
+        "The actual article body paragraph, long enough to be kept."
+    )
