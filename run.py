@@ -48,6 +48,11 @@ def main() -> None:
                     help="after the crawl, write per-URL revisit stats and"
                          " the change-rate recrawl schedule over the INPUT"
                          " pages archive to DIR (plans/cdx.py)")
+    ap.add_argument("--ingest", metavar="DIR", default=None,
+                    help="also run the web-ingest curation composite"
+                         " (boilerplate removal → PII redaction → C4 line"
+                         " cleaning → langid) over the pages input and write"
+                         " training docs parquet under DIR/training_docs")
     ap.add_argument("--cdx", metavar="DIR", default=None,
                     help="after the crawl, write a SURT-sorted CDX capture"
                          " index of the fetch_log to DIR (plans/cdx.py)")
@@ -134,6 +139,16 @@ def main() -> None:
             "overwrite"
         ).parquet(f"{args.revisit}/recrawl_schedule")
 
+    ingest_docs = None
+    if args.ingest:
+        from spacetime_crawler_spark.operators.pipeline import (
+            pipeline_web_ingest,
+        )
+
+        out_path = f"{args.ingest}/training_docs"
+        pipeline_web_ingest(pages).write.mode("overwrite").parquet(out_path)
+        ingest_docs = spark.read.parquet(out_path).count()
+
     fetched = sum(m.urls_selected for m in run.metrics)
     candidates = sum(m.candidates for m in run.metrics)
     summary = {
@@ -145,6 +160,8 @@ def main() -> None:
         "urls_per_sec": round((fetched + candidates) / wall, 1) if wall else 0,
         "per_round": [vars(m) for m in run.metrics],
     }
+    if ingest_docs is not None:
+        summary["ingest_docs"] = ingest_docs
     json.dump(summary, sys.stdout, indent=2)
     print()
     spark.stop()
