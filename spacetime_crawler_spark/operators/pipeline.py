@@ -438,3 +438,52 @@ def pipeline_web_ingest(pages: DataFrame) -> DataFrame:
         "text",
         F.expr(SPARK_N_TOKENS).alias("n_tokens"),
     )
+
+
+# --- deterministic train/val/test split -----------------------------------------
+
+# Hex thresholds over the 256-way md5 bucket: [00, VAL) → val,
+# [VAL, TEST) → test, [TEST, ff] → train.  0x0a/256 ≈ 3.9% val,
+# (0x14-0x0a)/256 ≈ 3.9% test, rest train — pinned demo fractions;
+# deployments pass their own.
+SPLIT_VAL_HEX = "0a"
+SPLIT_TEST_HEX = "14"
+
+
+def pipeline_split(
+    docs: DataFrame,
+    val_hex: str = SPLIT_VAL_HEX,
+    test_hex: str = SPLIT_TEST_HEX,
+) -> DataFrame:
+    """Deterministic train/validation/test split — the last step before
+    packing: split membership is a pure function of doc_id (first two hex
+    chars of md5), so it is reproducible bit-for-bit on any cluster size,
+    stable under re-runs and resumes, and a document can never migrate
+    between splits when the corpus grows (the property random splits
+    lack).  Emits (doc_id, split).
+
+    Scale shape: map-only — one hash + two comparisons per row inside
+    whole-stage codegen; no shuffle, no RNG, no driver work."""
+    if not (len(val_hex) == len(test_hex) == 2 and val_hex <= test_hex):
+        raise ValueError("need 2-hex-char thresholds with val_hex <= test_hex")
+    bucket = F.expr(_sample_bucket_expr("doc_id"))
+    return docs.select(
+        "doc_id",
+        F.when(bucket < F.lit(val_hex), F.lit("val"))
+        .when(bucket < F.lit(test_hex), F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def pipeline_split_sql(
+    val_hex: str = SPLIT_VAL_HEX, test_hex: str = SPLIT_TEST_HEX
+) -> str:
+    b = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+    return f"""
+SELECT doc_id,
+       CASE WHEN {b} < '{val_hex}' THEN 'val'
+            WHEN {b} < '{test_hex}' THEN 'test'
+            ELSE 'train' END AS split
+FROM docs
+"""

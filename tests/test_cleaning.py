@@ -522,3 +522,35 @@ def test_run_py_ingest_writes_training_docs(spark, monkeypatch, tmp_path):
     out = spark.read.parquet(str(tmp_path / "cur" / "training_docs"))
     assert out.columns == ["url", "lang", "text", "n_tokens"]
     assert summary["ingest_docs"] == out.count() == 0
+
+
+# --- deterministic split --------------------------------------------------------
+
+
+def test_pipeline_split(spark, tmp_path_factory):
+    from spacetime_crawler_spark.operators.pipeline import (
+        pipeline_split,
+        pipeline_split_sql,
+    )
+
+    path = str(tmp_path_factory.mktemp("split") / "docs.parquet")
+    spark.range(0, 2000).selectExpr("id AS doc_id", "'t' AS text").coalesce(1).write.parquet(path)
+    docs = spark.read.parquet(path)
+    got = pipeline_split(docs)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW docs AS SELECT * FROM '{path}/*.parquet'")
+    assert compare(got, con.sql(pipeline_split_sql()).df()) == []
+    con.close()
+    counts = {r.split: r["count"] for r in got.groupBy("split").count().collect()}
+    # every doc in exactly one split; fractions near 1/256-bucket expectation
+    assert sum(counts.values()) == 2000
+    assert 0.02 < counts["val"] / 2000 < 0.06
+    assert 0.02 < counts["test"] / 2000 < 0.06
+    # determinism: same assignment on a re-run over a differently-partitioned scan
+    again = {r.doc_id: r.split for r in pipeline_split(docs.repartition(7)).collect()}
+    first = {r.doc_id: r.split for r in got.collect()}
+    assert again == first
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pipeline_split(docs, val_hex="20", test_hex="10")
