@@ -1,0 +1,214 @@
+"""SemDeDup: differential vs a full-fidelity pure-python re-implementation
+of the pinned spec (seeding, spherical k-means with decimal-exact centroid
+sums, greedy within-cluster prune), planted-duplicate semantics, and the
+engine-wide partition-invariance contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from spacetime_crawler_spark.operators import semdedup as sd
+
+
+# --- pure-python oracle (independent reimplementation of the spec) -----------
+
+def _norm_seq(vec):
+    s = 0.0
+    for v in vec:
+        s += float(v) * float(v)
+    return s ** 0.5
+
+
+def _normalize(vec):
+    n = _norm_seq(vec)
+    if n == 0.0:
+        return [0.0] * len(vec)
+    return [float(v) / n for v in vec]
+
+
+def _dot_seq(a, b):
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + x * y
+    return s
+
+
+def oracle_semdedup(rows, k, n_iter, tau):
+    """rows: [(id, [float components as collected from Spark])].  Returns
+    {id: (cluster, centroid_sim, keep, kept_by)} per the pinned spec."""
+    xn = {i: _normalize(v) for i, v in rows}
+    ids = sorted(xn)
+    seeds = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:k]
+    C = [list(xn[i]) for i in seeds]
+    k = len(C)
+    d = len(C[0])
+
+    def assign_all():
+        out = {}
+        for i in ids:
+            dots = [_dot_seq(xn[i], c) for c in C]
+            best = 0  # strict > keeps the FIRST max — np.argmax's tie rule
+            for c in range(1, k):
+                if dots[c] > dots[best]:
+                    best = c
+            out[i] = (best, dots[best])
+        return out
+
+    for _ in range(n_iter):
+        a = assign_all()
+        # scaled-integer exact sums — the same quantization the engine's
+        # cast(col * 1e18 as bigint) performs (truncation toward zero)
+        sums = [[0] * d for _ in range(k)]
+        counts = [0] * k
+        for i in ids:
+            c = a[i][0]
+            counts[c] += 1
+            for j, v in enumerate(xn[i]):
+                sums[c][j] += int(v * 1e18)
+        for c in range(k):
+            if counts[c] == 0:
+                continue
+            mean = [float(sums[c][j]) / 1e18 / counts[c] for j in range(d)]
+            n = _norm_seq(mean)
+            C[c] = [m / n for m in mean] if n > 0 else mean
+
+    a = assign_all()
+    result = {}
+    by_cluster: dict[int, list[int]] = {}
+    for i in ids:
+        by_cluster.setdefault(a[i][0], []).append(i)
+    for c, members in by_cluster.items():
+        members = sorted(members, key=lambda i: (a[i][1], i))
+        kept: list[int] = []
+        for i in members:
+            best_j, best_sim = None, None
+            for kj in kept:
+                s = _dot_seq(xn[i], xn[kj])
+                if best_sim is None or s > best_sim:
+                    best_j, best_sim = kj, s
+            if best_sim is not None and best_sim >= tau:
+                result[i] = (c, a[i][1], False, best_j)
+            else:
+                kept.append(i)
+                result[i] = (c, a[i][1], True, None)
+    return result
+
+
+def _run_engine(df, **kw):
+    out = sd.semdedup(df, **kw).collect()
+    return {
+        r["vec_id"]: (r["cluster"], r["centroid_sim"], r["keep"], r["kept_by"])
+        for r in out
+    }
+
+
+# --- differential over the driver testdata -----------------------------------
+
+def test_semdedup_matches_pure_oracle(spark, sf_dir):
+    from spacetime_crawler_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = [(r["vec_id"], list(r["embedding"])) for r in
+            emb.select("vec_id", "embedding").collect()]
+    expected = oracle_semdedup(rows, k=sd.K_CLUSTERS, n_iter=sd.N_ITER,
+                               tau=sd.TAU_DEMO)
+    got = _run_engine(emb, k=sd.K_CLUSTERS, n_iter=sd.N_ITER, tau=sd.TAU_DEMO)
+    assert got == expected  # bit-identical: clusters, sims, keeps, kept_by
+
+
+def test_semdedup_partition_invariance(spark, sf_dir):
+    from spacetime_crawler_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = _run_engine(emb.repartition(1), tau=sd.TAU_DEMO)
+    b = _run_engine(emb.repartition(13), tau=sd.TAU_DEMO)
+    assert a == b
+
+
+# --- planted duplicates: the semantics the synth corpus can't exercise -------
+
+def _planted(spark):
+    """Three exact-duplicate pairs + orthogonal singletons, d=4."""
+    base = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.001, 0.0]),   # near-dup of 2
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+        (6, [2.0, 0.0, 0.0, 0.0]),     # scaled copy of 0 (cos == 1)
+    ]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in base],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_semdedup_planted_duplicates(spark):
+    df = _planted(spark)
+    got = _run_engine(df, k=4, n_iter=5, tau=0.99)
+    # keep-set invariant: no two kept members of one cluster within tau
+    kept = {i for i, (_, _, keep, _) in got.items() if keep}
+    dropped = {i: kb for i, (_, _, keep, kb) in got.items() if not keep}
+    assert len(dropped) >= 2  # at least {0,1,6} and {2,3} collapse
+    for i, kb in dropped.items():
+        assert kb in kept
+        assert got[i][0] == got[kb][0]  # kept_by is in the same cluster
+    # scaled copy: 0, 1 and 6 end up as one survivor
+    trio = [i for i in (0, 1, 6)]
+    assert sum(1 for i in trio if i in kept) == 1
+    # differential: the pinned-spec oracle agrees on the same input
+    rows = [(r["vec_id"], list(r["embedding"])) for r in df.collect()]
+    assert got == oracle_semdedup(rows, k=4, n_iter=5, tau=0.99)
+
+
+def test_semdedup_keep_set_pairwise_below_tau(spark, sf_dir):
+    """Within every cluster, all KEPT members are pairwise below tau, and
+    every dropped member really is within tau of its kept_by."""
+    from spacetime_crawler_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {r["vec_id"]: _normalize(list(r["embedding"]))
+            for r in emb.collect()}
+    got = _run_engine(emb, tau=sd.TAU_DEMO)
+    by_cluster: dict[int, list[int]] = {}
+    for i, (c, _, keep, kb) in got.items():
+        if keep:
+            by_cluster.setdefault(c, []).append(i)
+        else:
+            assert _dot_seq(rows[i], rows[kb]) >= sd.TAU_DEMO
+    for members in by_cluster.values():
+        for a_ in members:
+            for b_ in members:
+                if a_ < b_:
+                    assert _dot_seq(rows[a_], rows[b_]) < sd.TAU_DEMO
+    # non-vacuity at the demo tau over the sf corpus
+    assert any(not keep for (_, _, keep, _) in got.values())
+
+
+def test_kmeans_fewer_rows_than_k(spark):
+    df = _planted(spark).filter(F.col("vec_id") < 3)
+    C = sd.kmeans_fit(df, k=8, n_iter=3)
+    assert C.shape[0] == 3  # k shrank to the row count
+    got = _run_engine(df, k=8, n_iter=3, tau=0.99)
+    assert set(got) == {0, 1, 2}
+
+
+def test_semdedup_reuses_external_centroids(spark):
+    """Passing fitted centroids skips the fit (dedup a fresh shard against
+    an existing clustering)."""
+    df = _planted(spark)
+    C = sd.kmeans_fit(df, k=4, n_iter=5)
+    got = _run_engine(df, k=4, n_iter=5, tau=0.99, centroids=C)
+    assert got == _run_engine(df, k=4, n_iter=5, tau=0.99)
+
+
+def test_semdedup_demo_shape(spark, sf_dir):
+    out = sd.semdedup_demo(spark, sf_dir)
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "cluster", "centroid_sim", "keep", "kept_by"]
+    n = out.count()
+    from spacetime_crawler_spark.sources.tables import load_table
+    assert n == load_table(spark, sf_dir, "embeddings").count()
