@@ -53,6 +53,11 @@ def main() -> None:
                          " (boilerplate removal → PII redaction → C4 line"
                          " cleaning → langid) over the pages input and write"
                          " training docs parquet under DIR/training_docs")
+    ap.add_argument("--lm-buckets", metavar="DIR", default=None,
+                    help="with --ingest: train the char-trigram LM on the "
+                         "ingested docs' md5 seed stratum, score every doc, "
+                         "and write per-language head/middle/tail buckets "
+                         "(the CCNet quality gate) to DIR")
     ap.add_argument("--cdx", metavar="DIR", default=None,
                     help="after the crawl, write a SURT-sorted CDX capture"
                          " index of the fetch_log to DIR (plans/cdx.py)")
@@ -61,6 +66,8 @@ def main() -> None:
                          " iceberg-spark-runtime on the classpath) instead"
                          " of parquet+manifest under --state-dir")
     args = ap.parse_args()
+    if args.lm_buckets and not args.ingest:
+        ap.error("--lm-buckets requires --ingest (it scores the ingested docs)")
     if args.iceberg and "." not in args.iceberg:
         ap.error("--iceberg must be CATALOG.NAMESPACE")
 
@@ -148,6 +155,18 @@ def main() -> None:
         out_path = f"{args.ingest}/training_docs"
         pipeline_web_ingest(pages).write.mode("overwrite").parquet(out_path)
         ingest_docs = spark.read.parquet(out_path).count()
+
+        if args.lm_buckets:
+            from spacetime_crawler_spark.operators import lm_quality as lm
+
+            docs = spark.read.parquet(out_path)  # (url, lang, text, ...)
+            model = lm.train_char_lm(
+                spark, lm.seed_stratum(docs, id_col="url")
+            )
+            scored = lm.lm_quality_score(docs, model, id_col="url")
+            lm.lm_ppl_buckets(scored, docs, id_col="url").write.mode(
+                "overwrite"
+            ).parquet(f"{args.lm_buckets}/lm_buckets")
 
     fetched = sum(m.urls_selected for m in run.metrics)
     candidates = sum(m.candidates for m in run.metrics)

@@ -315,6 +315,21 @@ def _minhash_signatures(sh: DataFrame, num_perm: int = MINHASH_NUM_PERM) -> Data
     )
 
 
+def _band_bucket_expr(
+    sig_col: str = "sig",
+    bands: int = LSH_BANDS,
+    num_perm: int = MINHASH_NUM_PERM,
+) -> str:
+    """ARRAY<BIGINT>[bands] of band-bucket codes from a signature column —
+    the ONE place the banding rule lives (the batch LSH join and the
+    incremental probe must never disagree on bucket layout)."""
+    rows = num_perm // bands
+    return (
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> xxhash64(concat_ws(',', slice({sig_col}, b * {rows} + 1, {rows}))))"
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     bucket_cap: int = LSH_BUCKET_CAP,
@@ -336,16 +351,9 @@ def minhash_lsh_pairs(
     if cleanup is not None:
         cleanup.append(sh)
     sigs = _minhash_signatures(sh)
-    rows_per_band = MINHASH_NUM_PERM // LSH_BANDS
     bands = sigs.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {LSH_BANDS - 1}),"
-                f" b -> xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1,"
-                f" {rows_per_band}))))"
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(F.expr(_band_bucket_expr("sig"))).alias("band", "bucket"),
     )
     from pyspark.sql import Window
 
@@ -952,3 +960,94 @@ SELECT k.doc_id,
 FROM kept k JOIN totals t USING (doc_id)
 GROUP BY k.doc_id
 """
+
+
+# --- incremental minhash dedup (fresh shard vs a stored signature index) -----------
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, sig ARRAY<BIGINT>[num_perm]): the storable
+    dedup index.  This is what a production pipeline persists per crawl
+    snapshot — 32 longs per document instead of the document — so that next
+    month's shard dedups against ten years of corpus without the corpus.
+    Docs too short to shingle produce NO row (pinned: they are never
+    near-dup candidates, matching the batch LSH path)."""
+    return _minhash_signatures(_shingle_docs(docs))
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    threshold: float = 0.7,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    cleanup: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Flag documents of a fresh shard that near-duplicate an already-
+    indexed corpus: (doc_id, dup_of, est_jaccard), one row per flagged NEW
+    doc with its best corpus match (highest estimate, ties → lowest corpus
+    doc_id).  The verdict is the standard signature estimator — the
+    fraction of agreeing minhash components — so the historical TEXT is
+    never read, only `corpus_sigs` (see minhash_signatures).  Within-shard
+    duplicates are a separate concern: run minhash_lsh_pairs on the shard.
+
+    Scale shape: candidates come from a (band, bucket) equi-join between
+    the shard's band codes and the index's — both sides banded by the ONE
+    shared _band_bucket_expr, both sides carrying (id, band, bucket) only
+    (signatures join back by id afterwards, so the band shuffle never
+    carries arrays).  (band, bucket) groups larger than bucket_cap on
+    EITHER side are excluded before the join (boilerplate collapse — same
+    policy and constant as the batch path), so no bucket goes quadratic.
+    The estimate is one zip_with fold per surviving candidate pair."""
+    # the shard's signatures are consumed twice (banding + the score join)
+    # and cost a tokenize+explode+agg — persist with the module's cleanup
+    # discipline (corpus_sigs is caller-provided, typically a parquet read
+    # of the materialized index: re-scanning it is the cheap path)
+    new_sigs = minhash_signatures(new_docs).persist()
+    if cleanup is not None:
+        cleanup.append(new_sigs)
+    from pyspark.sql import Window
+
+    def banded(sigs: DataFrame, idc: str) -> DataFrame:
+        b = sigs.select(
+            F.col("doc_id").alias(idc),
+            F.posexplode(F.expr(_band_bucket_expr("sig"))).alias(
+                "band", "bucket"
+            ),
+        )
+        w = Window.partitionBy("band", "bucket")
+        return (
+            b.withColumn("n", F.count(F.lit(1)).over(w))
+            .filter(F.col("n") <= bucket_cap)
+            .drop("n")
+        )
+
+    candidates = (
+        banded(new_sigs, "doc_id")
+        .join(banded(corpus_sigs, "dup_of"), ["band", "bucket"])
+        .select("doc_id", "dup_of")
+        .distinct()
+    )
+    est = (
+        f"aggregate(zip_with(sig_new, sig_old, (x, y) -> IF(x = y, 1, 0)),"
+        f" 0, (s, v) -> s + v) / cast({MINHASH_NUM_PERM} as double)"
+    )
+    scored = (
+        candidates.join(
+            new_sigs.select("doc_id", F.col("sig").alias("sig_new")), "doc_id"
+        )
+        .join(
+            corpus_sigs.select(
+                F.col("doc_id").alias("dup_of"), F.col("sig").alias("sig_old")
+            ),
+            "dup_of",
+        )
+        .withColumn("est_jaccard", F.round(F.expr(est), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    rank = Window.partitionBy("doc_id").orderBy(
+        F.desc("est_jaccard"), F.asc("dup_of")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "dup_of", "est_jaccard")
+    )

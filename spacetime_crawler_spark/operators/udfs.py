@@ -1,4 +1,4 @@
-"""The engine's ONLY Python↔JVM crossings: seven Arrow-batched pandas UDFs
+"""The engine's ONLY Python↔JVM crossings: eight Arrow-batched pandas UDFs
 wrapping the pinned pure functions (BASELINE.json input_hint: vectorized
 pandas/Arrow UDFs, no per-row Python — i.e. no F.udf anywhere).
 
@@ -107,6 +107,27 @@ def anchor_extract_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
             for h, b in zip(html, base_url)
         ]
     )
+
+
+_CHARSET_SCHEMA = T.StructType([
+    T.StructField("charset", T.StringType()),
+    T.StructField("text_decoded", T.StringType()),
+])
+
+
+@F.pandas_udf(_CHARSET_SCHEMA)
+def charset_decode_udf(html: pd.Series) -> pd.DataFrame:
+    """Charset sniff + charset-aware decode in ONE crossing (the pinned
+    WHATWG-flavored spec in functions/charset.py) — distinct from F9's
+    frozen UTF-8-replace byte-identity decode."""
+    from spacetime_crawler_spark.functions.charset import decode_html
+
+    charsets, texts = [], []
+    for h in html:
+        text, cs = decode_html(None if h is None else bytes(h))
+        charsets.append(cs)
+        texts.append(text)
+    return pd.DataFrame({"charset": charsets, "text_decoded": texts})
 
 
 @F.pandas_udf(T.StringType())

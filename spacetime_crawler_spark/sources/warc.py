@@ -172,6 +172,7 @@ def read_warc_pages(
     spark: SparkSession,
     path: str,
     extract_text: bool = False,
+    charset_sniff: bool = False,
     max_compressed_bytes: int = WARC_MAX_COMPRESSED_BYTES,
 ) -> DataFrame:
     """WARC file(s) at `path` (glob ok; plain or per-record-gzip) → pages
@@ -188,7 +189,17 @@ def read_warc_pages(
     are map-only (Arrow UDF + column expressions) — the scan stays one
     task per WARC file with no shuffle.  Default False: the crawl engine
     does its own (fused) extraction, and ingest-for-crawl should not pay
-    the parse twice."""
+    the parse twice.
+
+    charset_sniff=True (needs extract_text=True) runs the pinned WHATWG-
+    style charset detection first (operators/cleaning.annotate_charset):
+    the extractor then parses the charset-correct decode instead of F9's
+    UTF-8-replace view — legacy-encoded Common-Crawl pages keep their
+    accents instead of turning into U+FFFD runs — and the output gains a
+    `charset` column.  Still map-only: the sniff+decode share one Arrow
+    crossing, the parse another."""
+    if charset_sniff and not extract_text:
+        raise ValueError("charset_sniff=True requires extract_text=True")
     listed = spark.read.format("binaryFile").load(path)
     _check_file_sizes(listed, max_compressed_bytes)
     raw = listed.select("content")
@@ -219,7 +230,15 @@ def read_warc_pages(
     from spacetime_crawler_spark.operators.textstats import annotate_lang
     from spacetime_crawler_spark.operators.udfs import text_extract_udf
 
-    pages = pages.withColumn("text", text_extract_udf(F.col("html")))
+    if charset_sniff:
+        from spacetime_crawler_spark.operators.cleaning import annotate_charset
+
+        pages = annotate_charset(pages)  # adds charset, text_decoded
+        pages = pages.withColumn(
+            "text", text_extract_udf(F.col("text_decoded"))
+        ).drop("text_decoded")
+    else:
+        pages = pages.withColumn("text", text_extract_udf(F.col("html")))
     return annotate_lang(pages, text_col="text", lang_col="lang")
 
 

@@ -465,3 +465,95 @@ def test_remove_duplicate_spans(spark, tmp_path_factory):
     # partial window passes through untouched
     assert rows[3].text_spandedup == "just a few words"
     assert rows[3].n_spans_dropped == 0
+
+
+# --- incremental minhash dedup ---------------------------------------------------
+
+def _shard_and_corpus(spark):
+    """Corpus of three distinct docs + a fresh shard containing: an exact
+    copy, a light edit, an unrelated doc, and a too-short doc."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    other = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    )
+    corpus = spark.createDataFrame(
+        [(100, base), (101, other), (102, "solo unique text never repeated "
+                                          "anywhere with many words inside")],
+        "doc_id bigint, text string",
+    )
+    edited = base.replace("sigma", "sigmoid")
+    shard = spark.createDataFrame(
+        [(0, base), (1, edited), (2, "completely different content with "
+                                     "no overlap at all in any shingle"),
+         (3, "short")],  # single token -> zero shingles -> no signature
+        "doc_id bigint, text string",
+    )
+    return shard, corpus
+
+
+def test_minhash_incremental_flags_cross_shard_dups(spark):
+    shard, corpus = _shard_and_corpus(spark)
+    sigs = dedup.minhash_signatures(corpus)
+    got = {
+        r["doc_id"]: (r["dup_of"], r["est_jaccard"])
+        for r in dedup.minhash_dedup_incremental(shard, sigs, threshold=0.5).collect()
+    }
+    assert got[0] == (100, 1.0)  # exact copy: all components agree
+    assert got[1][0] == 100 and 0.5 <= got[1][1] < 1.0  # light edit
+    assert 2 not in got  # unrelated
+    assert 3 not in got  # too short to shingle -> never a candidate
+
+
+def test_minhash_incremental_estimate_matches_signatures(spark):
+    """est_jaccard must equal the python-computed agreeing-component
+    fraction of the two signatures (the pinned estimator)."""
+    shard, corpus = _shard_and_corpus(spark)
+    corpus_sigs = dedup.minhash_signatures(corpus)
+    sig_of = {r["doc_id"]: list(r["sig"]) for r in corpus_sigs.collect()}
+    sig_of.update(
+        {r["doc_id"]: list(r["sig"])
+         for r in dedup.minhash_signatures(shard).collect()}
+    )
+    for r in dedup.minhash_dedup_incremental(shard, corpus_sigs, threshold=0.0).collect():
+        a, b = sig_of[r["doc_id"]], sig_of[r["dup_of"]]
+        frac = sum(1 for x, y in zip(a, b) if x == y) / len(a)
+        assert r["est_jaccard"] == round(frac, 4)
+
+
+def test_minhash_incremental_best_match_rule(spark):
+    """A shard doc near two corpus docs keeps the highest estimate; exact
+    ties resolve to the lowest corpus doc_id."""
+    text = ("red orange yellow green blue indigo violet cyan magenta white "
+            "black brown pink gray silver gold maroon navy teal olive")
+    corpus = spark.createDataFrame(
+        [(200, text), (201, text)],  # two identical corpus docs
+        "doc_id bigint, text string",
+    )
+    shard = spark.createDataFrame([(5, text)], "doc_id bigint, text string")
+    out = dedup.minhash_dedup_incremental(
+        shard, dedup.minhash_signatures(corpus), threshold=0.5
+    ).collect()
+    assert [(r["doc_id"], r["dup_of"], r["est_jaccard"]) for r in out] == [
+        (5, 200, 1.0)
+    ]
+
+
+def test_minhash_incremental_bucket_cap(spark):
+    """A boilerplate bucket bigger than the cap on the corpus side is
+    excluded from candidate generation (same policy as the batch path)."""
+    text = ("every page has this exact same footer text repeated verbatim "
+            "across the entire site forever and ever and ever again")
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(300, 303)], "doc_id bigint, text string"
+    )
+    shard = spark.createDataFrame([(9, text)], "doc_id bigint, text string")
+    sigs = dedup.minhash_signatures(corpus)
+    capped = dedup.minhash_dedup_incremental(shard, sigs, threshold=0.5,
+                                             bucket_cap=2)
+    assert capped.count() == 0
+    uncapped = dedup.minhash_dedup_incremental(shard, sigs, threshold=0.5)
+    assert uncapped.count() == 1  # default cap (50) admits the bucket
