@@ -163,10 +163,12 @@ def main() -> None:
             model = lm.train_char_lm(
                 spark, lm.seed_stratum(docs, id_col="url")
             )
-            scored = lm.lm_quality_score(docs, model, id_col="url")
+            # scored feeds both the bucket window and the final join
+            scored = lm.lm_quality_score(docs, model, id_col="url").persist()
             lm.lm_ppl_buckets(scored, docs, id_col="url").write.mode(
                 "overwrite"
             ).parquet(f"{args.lm_buckets}/lm_buckets")
+            scored.unpersist(blocking=False)
 
     fetched = sum(m.urls_selected for m in run.metrics)
     candidates = sum(m.candidates for m in run.metrics)

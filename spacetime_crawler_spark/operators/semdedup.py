@@ -84,15 +84,17 @@ _NORM = (
 def _normalized(df: DataFrame, vec_col: str) -> DataFrame:
     """Add `xn`: the L2-normalized vector as array<double> (zero vectors
     stay zero).  Unit-norm first makes k-means spherical: argmin L2 ==
-    argmax dot == argmax cosine."""
-    norm = _NORM.format(v=vec_col)
-    return df.withColumn(
+    argmax dot == argmax cosine.  The norm is materialized as its own
+    column first — inlined into the transform lambda it would re-run the
+    whole d-element fold once PER ELEMENT (d^2 per row)."""
+    with_norm = df.withColumn("_nrm", F.expr(_NORM.format(v=vec_col)))
+    return with_norm.withColumn(
         "xn",
         F.expr(
-            f"CASE WHEN {norm} = 0.0 THEN transform({vec_col}, x -> 0.0d)"
-            f" ELSE transform({vec_col}, x -> cast(x as double) / {norm}) END"
+            f"CASE WHEN _nrm = 0.0 THEN transform({vec_col}, x -> 0.0d)"
+            f" ELSE transform({vec_col}, x -> cast(x as double) / _nrm) END"
         ),
-    )
+    ).drop("_nrm")
 
 
 def _seq_dots(X: np.ndarray, C: np.ndarray) -> np.ndarray:
