@@ -154,21 +154,30 @@ def main() -> None:
 
         out_path = f"{args.ingest}/training_docs"
         pipeline_web_ingest(pages).write.mode("overwrite").parquet(out_path)
-        ingest_docs = spark.read.parquet(out_path).count()
+        docs = spark.read.parquet(out_path)  # (url, lang, text, ...)
+        ingest_docs = docs.count()
 
         if args.lm_buckets:
             from spacetime_crawler_spark.operators import lm_quality as lm
 
-            docs = spark.read.parquet(out_path)  # (url, lang, text, ...)
-            model = lm.train_char_lm(
-                spark, lm.seed_stratum(docs, id_col="url")
-            )
-            # scored feeds both the bucket window and the final join
-            scored = lm.lm_quality_score(docs, model, id_col="url").persist()
-            lm.lm_ppl_buckets(scored, docs, id_col="url").write.mode(
-                "overwrite"
-            ).parquet(f"{args.lm_buckets}/lm_buckets")
-            scored.unpersist(blocking=False)
+            try:
+                model = lm.train_char_lm(
+                    spark, lm.seed_stratum(docs, id_col="url")
+                )
+            except ValueError as e:
+                # tiny/synthetic corpora can leave the md5 seed stratum with
+                # no trigrams (the C4 stage drops synth word-soup wholesale);
+                # skip the gate rather than abort the whole run post-crawl
+                print(f"lm-buckets skipped: {e}", file=sys.stderr)
+            else:
+                # scored feeds both the bucket window and the final join
+                scored = lm.lm_quality_score(
+                    docs, model, id_col="url"
+                ).persist()
+                lm.lm_ppl_buckets(scored, docs, id_col="url").write.mode(
+                    "overwrite"
+                ).parquet(f"{args.lm_buckets}/lm_buckets")
+                scored.unpersist(blocking=False)
 
     fetched = sum(m.urls_selected for m in run.metrics)
     candidates = sum(m.candidates for m in run.metrics)

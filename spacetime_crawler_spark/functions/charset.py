@@ -15,8 +15,10 @@ sniff, each step standard practice):
    <meta charset=X> or <meta http-equiv=content-type content="...charset=X">
    (the regexes run on a latin-1 view, so declaration scanning never
    depends on the answer).  Labels are normalized per WHATWG: latin-1 /
-   iso-8859-1 / ascii map to windows-1252, bare utf-16 to utf-16-le;
-   unknown labels are IGNORED and sniffing continues.
+   iso-8859-1 / ascii map to windows-1252, and the UTF-16 family maps to
+   utf-8 (an ASCII-readable declaration proves the bytes aren't UTF-16;
+   real UTF-16 is caught by its BOM in step 1); unknown labels are
+   IGNORED and sniffing continues.
 3. Strict UTF-8 validation of the whole payload -> utf-8.
 4. Fallback: windows-1252 (the WHATWG default for the no-information case).
 
@@ -47,8 +49,12 @@ _LABELS = {
     "shift_jis": "shift_jis", "shift-jis": "shift_jis",
     "sjis": "shift_jis", "euc-jp": "euc-jp", "euc-kr": "euc-kr",
     "gbk": "gbk", "gb2312": "gbk", "gb18030": "gb18030",
-    "big5": "big5", "utf-16": "utf-16-le", "utf-16le": "utf-16-le",
-    "utf-16be": "utf-16-be",
+    "big5": "big5",
+    # WHATWG maps a META-declared UTF-16 family to UTF-8: the declaration
+    # was readable by an ASCII-wise scan, so the bytes are by definition
+    # not UTF-16 — honoring the label literally turns the whole page into
+    # CJK mojibake.  Real UTF-16 is caught earlier by its BOM.
+    "utf-16": "utf-8", "utf-16le": "utf-8", "utf-16be": "utf-8",
 }
 
 _META_CHARSET = re.compile(

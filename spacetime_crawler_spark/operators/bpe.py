@@ -90,10 +90,31 @@ class BPEModel:
         return {pair: i for i, pair in enumerate(self.merges)}
 
 
+def _merge_pair(seq: list[str], pair: tuple[str, str]) -> list[str]:
+    """Replace every non-overlapping occurrence of `pair`, left to right —
+    the ONE merge-application rule, shared by training and encoding so the
+    two can never diverge on how a merge applies."""
+    merged = pair[0] + pair[1]
+    out: list[str] = []
+    j = 0
+    while j < len(seq):
+        if j + 1 < len(seq) and seq[j] == pair[0] and seq[j + 1] == pair[1]:
+            out.append(merged)
+            j += 2
+        else:
+            out.append(seq[j])
+            j += 1
+    return out
+
+
 def _learn_merges(
     freqs: list[tuple[str, int]], n_merges: int
 ) -> list[tuple[str, str]]:
-    """The driver-side loop: incremental pair counts over symbolized words."""
+    """The driver-side loop: incremental pair counts over symbolized words.
+    All bookkeeping is in-place — exhausted pairs are deleted as their
+    counts reach zero and a rewritten word is discarded from the inverted
+    index on decrement — so per-merge cost is the argmax scan plus the
+    affected words, never a full-dict rebuild."""
     words: list[list[str]] = [list(w) + [END] for w, _ in freqs]
     counts: list[int] = [c for _, c in freqs]
     pair_count: dict[tuple[str, str], int] = {}
@@ -101,11 +122,20 @@ def _learn_merges(
 
     def add_word(i: int, sign: int) -> None:
         seq, c = words[i], counts[i]
-        for a, b in zip(seq, seq[1:]):
-            p = (a, b)
-            pair_count[p] = pair_count.get(p, 0) + sign * c
+        for p in zip(seq, seq[1:]):
             if sign > 0:
+                pair_count[p] = pair_count.get(p, 0) + c
                 pair_words.setdefault(p, set()).add(i)
+            else:
+                nc = pair_count[p] - c
+                if nc <= 0:
+                    del pair_count[p]
+                    pair_words.pop(p, None)
+                else:
+                    pair_count[p] = nc
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(i)  # re-added below if the pair survives
 
     for i in range(len(words)):
         add_word(i, +1)
@@ -116,30 +146,17 @@ def _learn_merges(
         for p, c in pair_count.items():
             if c > best_c or (c == best_c and best is not None and p < best):
                 best, best_c = p, c
-        if best is None or best_c <= 0:
+        if best is None:
             break
         merges.append(best)
-        merged = best[0] + best[1]
         for i in sorted(pair_words.get(best, ())):
-            seq = words[i]
             add_word(i, -1)
-            out, j = [], 0
-            while j < len(seq):
-                if (
-                    j + 1 < len(seq)
-                    and seq[j] == best[0]
-                    and seq[j + 1] == best[1]
-                ):
-                    out.append(merged)
-                    j += 2
-                else:
-                    out.append(seq[j])
-                    j += 1
-            words[i] = out
+            words[i] = _merge_pair(words[i], best)
             add_word(i, +1)
-        # drop exhausted entries so the argmax scan stays tight
-        pair_count = {p: c for p, c in pair_count.items() if c > 0}
-        pair_words = {p: s for p, s in pair_words.items() if p in pair_count}
+        # every occurrence of `best` was rewritten away, so its count hit
+        # zero and add_word already deleted both entries; belt-and-braces
+        pair_count.pop(best, None)
+        pair_words.pop(best, None)
     return merges
 
 
@@ -183,20 +200,7 @@ def bpe_encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
                 best_rank, best_pair = r, p
         if best_pair is None:
             break
-        merged = best_pair[0] + best_pair[1]
-        out, j = [], 0
-        while j < len(seq):
-            if (
-                j + 1 < len(seq)
-                and seq[j] == best_pair[0]
-                and seq[j + 1] == best_pair[1]
-            ):
-                out.append(merged)
-                j += 2
-            else:
-                out.append(seq[j])
-                j += 1
-        seq = out
+        seq = _merge_pair(seq, best_pair)
     return seq
 
 

@@ -315,6 +315,31 @@ def _minhash_signatures(sh: DataFrame, num_perm: int = MINHASH_NUM_PERM) -> Data
     )
 
 
+def _capped_bands(
+    sigs: DataFrame, id_alias: str, bucket_cap: int
+) -> DataFrame:
+    """(doc_id, sig) → (id_alias, band, bucket) rows with overfull
+    (band, bucket) groups removed — the SECOND half of the candidate-
+    generation policy (the first is _band_bucket_expr), shared by the
+    batch self-join and the incremental probe so the two paths can never
+    disagree on which buckets participate.  Bucket sizes come from a
+    window over the SAME (band, bucket) exchange the downstream join
+    uses — no separate groupBy + anti-join passes."""
+    from pyspark.sql import Window
+
+    bands = sigs.select(
+        F.col("doc_id").alias(id_alias),
+        F.posexplode(F.expr(_band_bucket_expr("sig"))).alias("band", "bucket"),
+    )
+    return (
+        bands.withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        )
+        .filter(F.col("n") <= bucket_cap)
+        .drop("n")
+    )
+
+
 def _band_bucket_expr(
     sig_col: str = "sig",
     bands: int = LSH_BANDS,
@@ -351,21 +376,7 @@ def minhash_lsh_pairs(
     if cleanup is not None:
         cleanup.append(sh)
     sigs = _minhash_signatures(sh)
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(F.expr(_band_bucket_expr("sig"))).alias("band", "bucket"),
-    )
-    from pyspark.sql import Window
-
-    # bucket sizes via a window over the SAME (band, bucket) exchange the
-    # self-join uses — no separate groupBy + anti-join passes
-    cold = (
-        bands.withColumn(
-            "n", F.count("*").over(Window.partitionBy("band", "bucket"))
-        )
-        .filter(F.col("n") <= bucket_cap)
-        .drop("n")
-    )
+    cold = _capped_bands(sigs, "doc_id", bucket_cap)
     a = cold.alias("a")
     b = cold.alias("b")
     candidates = (
@@ -1006,23 +1017,10 @@ def minhash_dedup_incremental(
         cleanup.append(new_sigs)
     from pyspark.sql import Window
 
-    def banded(sigs: DataFrame, idc: str) -> DataFrame:
-        b = sigs.select(
-            F.col("doc_id").alias(idc),
-            F.posexplode(F.expr(_band_bucket_expr("sig"))).alias(
-                "band", "bucket"
-            ),
-        )
-        w = Window.partitionBy("band", "bucket")
-        return (
-            b.withColumn("n", F.count(F.lit(1)).over(w))
-            .filter(F.col("n") <= bucket_cap)
-            .drop("n")
-        )
-
     candidates = (
-        banded(new_sigs, "doc_id")
-        .join(banded(corpus_sigs, "dup_of"), ["band", "bucket"])
+        _capped_bands(new_sigs, "doc_id", bucket_cap)
+        .join(_capped_bands(corpus_sigs, "dup_of", bucket_cap),
+              ["band", "bucket"])
         .select("doc_id", "dup_of")
         .distinct()
     )

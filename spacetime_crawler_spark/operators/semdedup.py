@@ -157,6 +157,11 @@ def kmeans_fit(
             .select("xn")
             .collect()
         )  # bounded: exactly k rows
+        if not seed_rows:
+            raise ValueError(
+                "kmeans_fit: no vectors to cluster (empty input); pass "
+                "fitted centroids= to semdedup() for possibly-empty shards"
+            )
         C = np.vstack([np.asarray(r["xn"], dtype=np.float64) for r in seed_rows])
         k = C.shape[0]  # fewer rows than requested clusters -> shrink k
         d = C.shape[1]

@@ -42,6 +42,12 @@ def test_meta_declarations():
         == "windows-1251"
     )
     assert detect_charset(b"<META CHARSET='Shift_JIS'>") == "shift_jis"
+    # WHATWG: a META-declared UTF-16 label means UTF-8 — the declaration
+    # being ASCII-readable proves the page isn't UTF-16 (mislabeling seen
+    # in real Common Crawl); honoring it literally yields CJK mojibake
+    assert detect_charset(b"<meta charset=utf-16>hello world") == "utf-8"
+    text, cs = decode_html(b"<html><meta charset=utf-16><p>hello</p></html>")
+    assert cs == "utf-8" and "hello" in text
     # unknown label is ignored -> falls through to UTF-8 validity
     assert detect_charset(b"<meta charset='klingon'>ok") == "utf-8"
     # declaration outside the first 1024 bytes is not consulted

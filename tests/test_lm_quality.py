@@ -79,8 +79,12 @@ def test_train_counts_match_duckdb_exactly(spark, sf_dir, model):
     from spacetime_crawler_spark.sources.tables import load_table
 
     docs = lm.seed_stratum(load_table(spark, sf_dir, "documents"))
+    # through _lowered, exactly like train_char_lm — the DuckDB side
+    # lowercases, so building grams on raw text would leave the
+    # lowercasing step unpinned (and break spuriously on mixed case)
     counts = (
-        docs.select(F.explode(F.expr(lm.gram_array_sql("text"))).alias("gram"))
+        lm._lowered(docs, "text")
+        .select(F.explode(F.expr(lm.gram_array_sql("_t"))).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -212,3 +212,14 @@ def test_semdedup_demo_shape(spark, sf_dir):
     n = out.count()
     from spacetime_crawler_spark.sources.tables import load_table
     assert n == load_table(spark, sf_dir, "embeddings").count()
+
+
+def test_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no vectors"):
+        sd.kmeans_fit(empty, k=4, n_iter=2)
+    # with externally fitted centroids an empty shard dedups to empty output
+    fitted = sd.kmeans_fit(_planted(spark), k=4, n_iter=2)
+    assert sd.semdedup(empty, centroids=fitted, tau=0.9).count() == 0
