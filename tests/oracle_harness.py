@@ -31,7 +31,7 @@ def _norm_cell(v):
             return "∅"
         # floats are pre-rounded by the queries; format canonically
         return f"{v:.6f}"
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     return str(v)
 
