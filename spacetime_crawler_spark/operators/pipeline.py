@@ -487,3 +487,40 @@ SELECT doc_id,
             ELSE 'train' END AS split
 FROM docs
 """
+
+
+# --- semantic prune (SemDeDup stage) ----------------------------------------------
+
+def pipeline_semantic_prune(
+    docs: DataFrame,
+    vectors: DataFrame,
+    k: int | None = None,
+    n_iter: int | None = None,
+    tau: float | None = None,
+) -> DataFrame:
+    """Drop documents whose embedding SemDeDup marks as a semantic
+    duplicate; keep every doc without a vector (embeddings usually cover a
+    corpus subset — coverage is an upstream budget decision, and "no
+    vector" must not mean "silently dropped").  Joins on doc_id = vec_id.
+
+    Scale shape: semdedup's own (clustered, bounded-quadratic) work plus
+    ONE left join of docs against the (vec_id, keep) verdict — the verdict
+    relation carries two narrow columns, never text or vectors.  Compose
+    AFTER exact/near-dup text dedup: embedding dedup is the coarsest,
+    most expensive signal, so it should see the smallest corpus."""
+    from spacetime_crawler_spark.operators.semdedup import (
+        K_CLUSTERS,
+        N_ITER,
+        TAU_SEMANTIC,
+        semdedup,
+    )
+
+    verdicts = semdedup(
+        vectors,
+        k=K_CLUSTERS if k is None else k,
+        n_iter=N_ITER if n_iter is None else n_iter,
+        tau=TAU_SEMANTIC if tau is None else tau,
+    ).select(F.col("vec_id").alias("doc_id"), "keep")
+    return docs.join(verdicts, "doc_id", "left").filter(
+        F.coalesce(F.col("keep"), F.lit(True))
+    ).drop("keep")

@@ -223,3 +223,25 @@ def test_empty_input(spark):
     # with externally fitted centroids an empty shard dedups to empty output
     fitted = sd.kmeans_fit(_planted(spark), k=4, n_iter=2)
     assert sd.semdedup(empty, centroids=fitted, tau=0.9).count() == 0
+
+
+def test_pipeline_semantic_prune(spark):
+    """Composite: flagged semantic dups are dropped, vectorless docs pass
+    through untouched, and the surviving set equals docs minus semdedup's
+    keep=false verdicts."""
+    from spacetime_crawler_spark.operators.pipeline import (
+        pipeline_semantic_prune,
+    )
+
+    vectors = _planted(spark)  # vec_ids 0..6
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(9)],  # 7 and 8 have no vector
+        "doc_id bigint, text string",
+    )
+    out = pipeline_semantic_prune(docs, vectors, k=4, n_iter=5, tau=0.99)
+    kept_ids = {r["doc_id"] for r in out.collect()}
+    verdicts = _run_engine(vectors, k=4, n_iter=5, tau=0.99)
+    expected = {i for i in range(7) if verdicts[i][2]} | {7, 8}
+    assert kept_ids == expected
+    assert {7, 8} <= kept_ids  # vectorless docs always survive
+    assert out.columns == ["doc_id", "text"]  # verdict column dropped
