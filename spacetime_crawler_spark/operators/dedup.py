@@ -1049,3 +1049,70 @@ def minhash_dedup_incremental(
         .filter(F.col("rn") == 1)
         .select("doc_id", "dup_of", "est_jaccard")
     )
+
+
+def contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination REPORT — the graded companion of the
+    binary decontaminate_against_eval gate: every non-eval doc's window
+    count, eval-hit count, and contaminated fraction (what a release
+    audit publishes, and what threshold-tuning reads).  Plan: per-doc
+    totals are map-only off the docs scan (size of the window array —
+    never an aggregate of the exploded relation); hits reuse the bounded
+    eval-span broadcast probe; one narrow left join stitches them."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = _eval_pred()
+    totals = docs.filter(~is_eval).select(
+        "doc_id", F.expr(_SPARK_TOKENS).alias("t")
+    ).select(
+        "doc_id", F.size(F.expr(_SPARK_SPANS)).alias("n_windows")
+    )
+    spans = _doc_spans(docs)
+    eval_spans = spans.filter(is_eval).select("span").distinct()
+    hits = (
+        spans.filter(~is_eval)
+        .join(F.broadcast(eval_spans), "span")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_eval_hits", F.lit(0)).alias("n_eval_hits"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.round(
+                    F.coalesce("n_eval_hits", F.lit(0))
+                    / F.col("n_windows"),
+                    4,
+                ),
+            ).otherwise(F.lit(0.0)).alias("frac_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+s AS (SELECT doc_id, unnest({_DUCK_SPANS}) AS span FROM t),
+e AS (SELECT DISTINCT span FROM s
+      WHERE doc_id % {EVAL_DOC_MODULUS} = 0 AND doc_id < {EVAL_DOC_LIMIT}),
+totals AS (
+  SELECT doc_id, len({_DUCK_SPANS}) AS n_windows FROM t
+  WHERE NOT (doc_id % {EVAL_DOC_MODULUS} = 0 AND doc_id < {EVAL_DOC_LIMIT})
+),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_eval_hits
+  FROM s JOIN e USING (span)
+  WHERE NOT (s.doc_id % {EVAL_DOC_MODULUS} = 0 AND s.doc_id < {EVAL_DOC_LIMIT})
+  GROUP BY s.doc_id
+)
+SELECT t.doc_id, t.n_windows,
+       coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+       CASE WHEN t.n_windows > 0
+            THEN ROUND(CAST(coalesce(h.n_eval_hits, 0) AS DOUBLE) / t.n_windows, 4)
+            ELSE 0.0 END AS frac_contaminated
+FROM totals t LEFT JOIN hits h USING (doc_id)
+ORDER BY t.doc_id
+"""

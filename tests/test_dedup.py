@@ -560,3 +560,22 @@ def test_minhash_incremental_bucket_cap(spark):
     assert capped.count() == 0
     uncapped = dedup.minhash_dedup_incremental(shard, sigs, threshold=0.5)
     assert uncapped.count() == 1  # default cap (50) admits the bucket
+
+
+def test_contamination_stats_matches_duckdb(spark):
+    from tests.oracle_harness import compare, duck_connection
+
+    con = duck_connection(SF_DIR)
+    out = dedup.contamination_stats(spark, SF_DIR)
+    assert compare(out, con.sql(dedup.CONTAMINATION_STATS_SQL).df()) == []
+    # the graded report is consistent with the binary gate: exactly the
+    # docs with n_eval_hits > 0 are the ones decontaminate flags
+    flagged = {
+        r["doc_id"]
+        for r in dedup.decontaminate_against_eval(spark, SF_DIR).collect()
+    }
+    stats = {r["doc_id"]: r for r in out.collect()}
+    assert {i for i, r in stats.items() if r["n_eval_hits"] > 0} == flagged
+    for r in stats.values():  # fraction is bounded and consistent
+        assert 0.0 <= r["frac_contaminated"] <= 1.0
+        assert r["n_eval_hits"] <= r["n_windows"]
