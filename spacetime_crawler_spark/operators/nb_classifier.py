@@ -57,11 +57,11 @@ def _token_arrays(
     docs: DataFrame, text_col: str, *keep: str
 ) -> DataFrame:
     """(*keep, toks): non-empty whitespace tokens of the lowered text.
-    The lowered text is materialized below the split (per-element
-    re-evaluation trap — see lm_quality._lowered)."""
-    lowered = docs.select(
-        *keep, F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_t")
-    )
+    Reuses lm_quality._lowered — the ONE materialize-below-the-lambda
+    recipe (per-element re-evaluation trap)."""
+    from spacetime_crawler_spark.operators.lm_quality import _lowered
+
+    lowered = _lowered(docs, text_col, *keep)
     split = F.split(F.col("_t"), WORD_SPLIT_RE)
     return lowered.select(
         *keep, F.filter(split, lambda w: w != F.lit("")).alias("toks")
@@ -94,31 +94,27 @@ def train_nb(
     """Fit from exact counts.  Driver materialization is bounded by
     construction: k rows of class stats, top_v token rows, then
     <= top_v * k joined count rows."""
+    if alpha <= 0:
+        raise ValueError("train_nb: alpha must be > 0 (Laplace smoothing)")
     labeled = docs.filter(F.col(label_col).isNotNull()).withColumn(
         "_y", F.col(label_col).cast("string")
     )
-    toks = _token_arrays(labeled, text_col, "_y")
-    pairs = toks.select("_y", F.explode_outer("toks").alias("token"))
-    # per-class token totals and doc counts (explode_outer keeps empty
-    # docs visible, so count("token") is token occurrences while the doc
-    # count comes from the un-exploded side); both collects are k rows
-    n_tok = {
-        r["_y"]: int(r["n_tok"])
-        for r in pairs.groupBy("_y").agg(F.count("token").alias("n_tok")).collect()
-    }
-    n_docs = {
-        r["_y"]: int(r["n"])
-        for r in labeled.groupBy("_y").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    stats = {c: (n_tok[c], n_docs[c]) for c in n_tok}
-    classes = tuple(sorted(stats))
-    if not classes:
+    # enforce the class bound BEFORE any per-class collect, so a mistaken
+    # high-cardinality label column (a doc id, a URL) fails fast instead
+    # of materializing millions of class rows on the driver
+    k_probe = labeled.select("_y").distinct().limit(MAX_CLASSES + 1).count()
+    if k_probe == 0:
         raise ValueError("train_nb: no labeled documents")
-    if len(classes) > MAX_CLASSES:
+    if k_probe > MAX_CLASSES:
         raise ValueError(
-            f"train_nb: {len(classes)} classes exceeds MAX_CLASSES"
-            f" ({MAX_CLASSES}) — NB scoring broadcasts k columns per token"
+            f"train_nb: more than MAX_CLASSES ({MAX_CLASSES}) distinct"
+            f" labels — NB scoring broadcasts k columns per token"
         )
+    toks = _token_arrays(labeled, text_col, "_y")
+    # explode_outer + isNotNull (not plain explode): the inferred
+    # size(toks) > 0 filter would be pushed below the _t projection with
+    # the token lambda inlined — the lm_quality train-path trap
+    pairs = toks.select("_y", F.explode_outer("toks").alias("token"))
     counts = (
         pairs.filter(F.col("token").isNotNull())
         .groupBy("token", "_y")
@@ -126,6 +122,22 @@ def train_nb(
     )
     counts.persist()
     try:
+        # per-class token totals derive from the cached counts (a k-row
+        # agg) — never a second corpus-wide tokenize+explode pass
+        n_tok = {
+            r["_y"]: int(r["s"])
+            for r in counts.groupBy("_y").agg(F.sum("c").alias("s")).collect()
+        }
+        n_docs = {
+            r["_y"]: int(r["n"])
+            for r in labeled.groupBy("_y")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # classes come from doc counts: a class whose docs are all empty
+        # text has no counts rows but still exists (prior-only)
+        stats = {c: (n_tok.get(c, 0), n_docs[c]) for c in n_docs}
+        classes = tuple(sorted(stats))
         top = (
             counts.groupBy("token")
             .agg(F.sum("c").alias("tot"))

@@ -505,9 +505,14 @@ def pipeline_semantic_prune(
 
     Scale shape: semdedup's own (clustered, bounded-quadratic) work plus
     ONE left join of docs against the (vec_id, keep) verdict — the verdict
-    relation carries two narrow columns, never text or vectors.  Compose
-    AFTER exact/near-dup text dedup: embedding dedup is the coarsest,
-    most expensive signal, so it should see the smallest corpus."""
+    relation carries two narrow columns, never text or vectors, and is
+    broadcast (applyInPandas output has no Catalyst stats, so without the
+    hint the planner sort-merge-joins and shuffles the text side).  The
+    broadcast is bounded by the VECTOR count, not the corpus: ~9 bytes a
+    row holds to ~10^8 embedded docs; past that, write the verdicts out
+    and bucket-join on doc_id instead.  Compose AFTER exact/near-dup text
+    dedup: embedding dedup is the coarsest, most expensive signal, so it
+    should see the smallest corpus."""
     from spacetime_crawler_spark.operators.semdedup import (
         K_CLUSTERS,
         N_ITER,
@@ -521,6 +526,10 @@ def pipeline_semantic_prune(
         n_iter=N_ITER if n_iter is None else n_iter,
         tau=TAU_SEMANTIC if tau is None else tau,
     ).select(F.col("vec_id").alias("doc_id"), "keep")
-    return docs.join(verdicts, "doc_id", "left").filter(
+    # broadcast explicitly: the verdicts come out of applyInPandas, for
+    # which Catalyst has no size statistics — without the hint the planner
+    # sort-merge-joins and the docs side (text included) shuffles, exactly
+    # what this operator's contract forbids (plan-asserted in tests)
+    return docs.join(F.broadcast(verdicts), "doc_id", "left").filter(
         F.coalesce(F.col("keep"), F.lit(True))
     ).drop("keep")

@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from spacetime_crawler_spark.sources.tables import TESTDATA_TABLES
@@ -31,7 +32,7 @@ def _norm_cell(v):
             return "∅"
         # floats are pre-rounded by the queries; format canonically
         return f"{v:.6f}"
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     return str(v)
 

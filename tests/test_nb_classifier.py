@@ -137,8 +137,9 @@ def test_fixture_semantics_hand_computed(spark):
 def test_fixture_matches_duckdb(spark):
     train, test = _fixture(spark)
     model = nb.train_nb(spark, train, label_col="label")
-    con = duck_connection("/root/testdata/sf0.001")  # just for the views
-    con.sql("DROP VIEW IF EXISTS documents")
+    import duckdb
+
+    con = duckdb.connect()  # no testdata views needed: both tables local
     con.register("documents", test.toPandas())
     _register_model(con, model)
     assert compare(nb.nb_predict(test, model), con.sql(scores_sql(model)).df()) == []

@@ -245,3 +245,9 @@ def test_pipeline_semantic_prune(spark):
     assert kept_ids == expected
     assert {7, 8} <= kept_ids  # vectorless docs always survive
     assert out.columns == ["doc_id", "text"]  # verdict column dropped
+    # contract: the verdict side is broadcast — the docs/text side must
+    # never shuffle for this join (applyInPandas output has no stats, so
+    # without the hint this silently degrades to a sort-merge join)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
