@@ -286,3 +286,23 @@ def semdedup_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
         "kept_by",
     ).orderBy("vec_id")
+
+
+def semdedup_cluster_stats(verdicts: DataFrame) -> DataFrame:
+    """Per-cluster diversity report over semdedup() output: member count,
+    drop count, duplicate rate, and mean cosine-to-centroid — the summary
+    a SemDeDup audit publishes (which clusters are boilerplate-heavy, how
+    much the corpus shrinks, how tight each cluster is).  One partial+
+    final hash agg over the narrow verdict relation; k rows out."""
+    return (
+        verdicts.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
+            F.round(F.avg("centroid_sim"), 4).alias("mean_centroid_sim"),
+        )
+        .withColumn(
+            "dup_rate", F.round(F.col("n_dropped") / F.col("n_members"), 4)
+        )
+        .orderBy("cluster")
+    )

@@ -251,3 +251,20 @@ def test_pipeline_semantic_prune(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_cluster_stats(spark):
+    """Report ≡ a python recount over the same verdicts."""
+    verdicts = sd.semdedup(_planted(spark), k=4, n_iter=5, tau=0.99)
+    rows = verdicts.collect()
+    got = {r["cluster"]: (r["n_members"], r["n_dropped"], r["dup_rate"])
+           for r in sd.semdedup_cluster_stats(verdicts).collect()}
+    want: dict[int, list[int]] = {}
+    for r in rows:
+        m = want.setdefault(r["cluster"], [0, 0])
+        m[0] += 1
+        m[1] += 0 if r["keep"] else 1
+    assert got == {
+        c: (m, d, round(d / m, 4)) for c, (m, d) in want.items()
+    }
+    assert sum(m for m, _, _ in got.values()) == 7  # every vector counted
