@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spacetime_crawler_spark.functions.tokenize import TOKEN_SPLIT_REGEX
-from spacetime_crawler_spark.sources.tables import load_table
+from spacetime_crawler_spark.sources.tables import load_table, spread
 
 _SPARK_TOKENS = f"filter(split(lower(text), '{TOKEN_SPLIT_REGEX}'), x -> x != '')"
 _DUCK_TOKENS = (
@@ -662,8 +662,17 @@ def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the DUPLICATED span set back onto the doc spans → per-doc
     aggregate.  At 100 TB the duplicated-span set is the small side by
     construction (boilerplate concentrates), and no stage ever holds a
-    doc's full text after the first projection."""
-    spans = _doc_spans(load_table(spark, sf_dir, "documents"))
+    doc's full text after the first projection.
+
+    r6: spread() parallelizes the tokenize+md5+explode past the
+    one-row-group scan (measured 1.36 s → ~0.7 s at sf1.0).  A
+    restructure to map-only per-doc totals + an inner-join hit count was
+    tried and REJECTED (4.7 s): the totals branch re-evaluates the md5
+    window construction over every doc for nothing, while here the r5
+    left-join shape computes spans once per branch and its per-doc
+    aggregate collapses map-side."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    spans = _doc_spans(docs)
     dup_spans = (
         spans.groupBy("span")
         .agg(F.count("*").alias("occ"))
@@ -723,8 +732,10 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratum is size-capped by definition (see EVAL_DOC_LIMIT), mirroring
     real decontamination where the benchmark is tiny relative to the
     corpus — so the contamination check is a map-side hash probe over the
-    training spans: no shuffle of the big side at any scale."""
-    spans = _doc_spans(load_table(spark, sf_dir, "documents"))
+    training spans: no shuffle of the big side at any scale.  spread():
+    the tokenize+md5 explode feeding the probe is the whole cost and the
+    one-row-group testdata scan would run it single-threaded."""
+    spans = _doc_spans(spread(load_table(spark, sf_dir, "documents")))
     is_eval = _eval_pred()
     eval_spans = spans.filter(is_eval).select("span").distinct()
     return (
@@ -836,7 +847,9 @@ def decontaminate_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_dedup.py plants a shifted copy the grid provably misses);
     superset of the grid variant's hits by construction, still zero
     shuffle on the training side."""
-    return decontaminate_sliding_frames(load_table(spark, sf_dir, "documents"))
+    return decontaminate_sliding_frames(
+        spread(load_table(spark, sf_dir, "documents"))
+    )
 
 
 DECONTAMINATE_SLIDING_SQL = f"""
@@ -871,67 +884,66 @@ def remove_duplicate_spans(docs: DataFrame) -> DataFrame:
     two can never desynchronize; reassembly joins windows with single
     spaces, i.e. inter-token whitespace is normalized.
 
-    Scale shape: identical to dedup_lines_global — the duplicate set is
-    a partial+final hash agg of min(struct(doc_id, pos)) keyed on the
-    32-char span md5 (no window sort), the equi-join back meets the
-    spans on the same md5 partitioning, per-doc totals are a map-only
-    size() over the docs scan (one row per DOC, never an aggregation of
-    the exploded span relation), and reassembly is one groupBy(doc_id)
-    bounded by a single document's span count.  Shuffles carry hashes
-    and span texts only after the dup decision, never whole documents."""
+    Scale shape (guide §8: decide with small rows, move big rows once).
+    The dup decision only needs (md5, doc_id, pos), so the decision
+    relation explodes 16-byte keys + two ints — span TEXT never crosses
+    any exchange: (1) a partial+final hash agg of min(struct(doc_id,
+    pos)) keyed on the span md5 (no window sort) yields each key's one
+    winner; (2) winners collapse to a per-doc sorted keep-position array
+    (ints only); (3) ONE join attaches that array back to the tokenized
+    docs, and the surviving text is re-sliced locally from the doc's own
+    token array (tail windows are always kept and need no join at all).
+    The r5 shape instead joined the full span-text relation against the
+    winner set and reassembled through a second corpus-wide groupBy —
+    two exchanges carrying the whole corpus text (measured 3.9 s → 1.3 s
+    at sf1.0; plan: 4 Exchange → 2 narrow + 1 broadcast)."""
     s = SPAN_TOKENS
     toks = "filter(split(text, '\\\\s+'), x -> x != '')"
-    spans = _spark_span_windows("t", _SPARK_SPAN_SLICE)
-    units = docs.select(
-        "doc_id", F.expr(toks).alias("t")
-    ).select(
+    keys = _spark_span_windows("t", f"md5({_SPARK_SPAN_SLICE})")
+    toked = spread(docs).select("doc_id", F.expr(toks).alias("t"))
+    full_keys = toked.select(
         "doc_id",
         F.size("t").alias("nt"),
-        F.posexplode(F.expr(spans)).alias("pos", "span"),
-    )
-    full = units.where((F.col("pos") + 1) * s <= F.col("nt"))
-    firsts = full.groupBy(F.md5("span").alias("k")).agg(
+        F.posexplode(F.expr(keys)).alias("pos", "k"),
+    ).where((F.col("pos") + 1) * s <= F.col("nt"))
+    firsts = full_keys.groupBy("k").agg(
         F.min(F.struct("doc_id", "pos")).alias("first")
     )
-    kept_full = (
-        full.join(firsts, F.md5(F.col("span")) == F.col("k"))
-        .where(
-            (F.col("doc_id") == F.col("first.doc_id"))
-            & (F.col("pos") == F.col("first.pos"))
+    kept_pos = (
+        firsts.select(
+            F.col("first.doc_id").alias("doc_id"),
+            F.col("first.pos").alias("pos"),
         )
-        .select("doc_id", "pos", "span")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("keep_pos"))
     )
-    tails = units.where((F.col("pos") + 1) * s > F.col("nt")).select(
-        "doc_id", "pos", "span"
+    kp = f"coalesce(keep_pos, cast(array() as array<int>))"
+    kept_texts = (
+        f"transform({kp}, p -> concat_ws(' ', slice(t, p * {s} + 1, {s})))"
     )
-    kept = kept_full.unionByName(tails)
-    # map-only per-doc totals (the dedup_lines_global shape): size() of the
-    # window array straight off the docs scan — no aggregation of the
-    # exploded corpus-scale span relation
-    totals = docs.select(
-        "doc_id", F.expr(toks).alias("t")
-    ).select(
-        "doc_id",
-        F.size(F.expr(spans)).cast("int").alias("n_spans"),
+    tail_texts = (
+        f"case when size(t) % {s} = 0 then cast(array() as array<string>)"
+        f" else array(concat_ws(' ',"
+        f" slice(t, size(t) - size(t) % {s} + 1, size(t) % {s}))) end"
     )
+    n_spans = (
+        f"case when size(t) = 0 then 0"
+        f" else cast(floor((size(t) - 1) / {s}) as int) + 1 end"
+    )
+    n_kept = f"size({kp}) + if(size(t) % {s} = 0, 0, 1)"
     return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "span"))),
-                    lambda x: x["span"],
-                ),
-                " ",
-            ).alias("text_spandedup"),
-            F.count(F.lit(1)).cast("int").alias("n_spans_kept"),
+        toked.join(kept_pos, "doc_id", "left")
+        .where(
+            F.col("keep_pos").isNotNull()
+            | F.expr(f"size(t) % {s} != 0 and size(t) > 0")
         )
-        .join(totals, "doc_id")
         .select(
             "doc_id",
-            "text_spandedup",
-            "n_spans_kept",
-            (F.col("n_spans") - F.col("n_spans_kept"))
+            F.expr(
+                f"array_join(concat({kept_texts}, {tail_texts}), ' ')"
+            ).alias("text_spandedup"),
+            F.expr(n_kept).cast("int").alias("n_spans_kept"),
+            F.expr(f"({n_spans}) - ({n_kept})")
             .cast("int")
             .alias("n_spans_dropped"),
         )
@@ -1059,7 +1071,7 @@ def contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals are map-only off the docs scan (size of the window array —
     never an aggregate of the exploded relation); hits reuse the bounded
     eval-span broadcast probe; one narrow left join stitches them."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     is_eval = _eval_pred()
     totals = docs.filter(~is_eval).select(
         "doc_id", F.expr(_SPARK_TOKENS).alias("t")

@@ -90,7 +90,13 @@ def multimodal_fake_features_array(spark: SparkSession, sf_dir: str) -> DataFram
     Array-valued variant used by pytest; unit tests pin determinism +
     dimensionality.  The driver-facing registry entry is the exploded
     multimodal_fake_features below (hashable scalar rows)."""
-    payloads = _with_payload(spark, sf_dir)
+    from spacetime_crawler_spark.sources.tables import spread
+
+    # spread: the Python featurizer is the whole cost and the one-row-group
+    # testdata scan would feed a SINGLE Python worker; the repartition fans
+    # the Arrow batches across all cores' workers.  (multimodal_binary_meta
+    # deliberately stays unspread — it is native map-only codegen.)
+    payloads = spread(_with_payload(spark, sf_dir))
 
     def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -17,7 +17,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spacetime_crawler_spark.sources.tables import load_table
+from spacetime_crawler_spark.sources.tables import load_table, spread
 
 TOP_K = 5
 _QUERY_VEC_ID = 0  # the pinned demo query vector
@@ -36,14 +36,17 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k by cosine to the pinned query vector: broadcast the
     1-row query side, scan-and-score every vector (one pass, no shuffle),
     then TakeOrderedAndProject for the top-k.  This is the correctness
-    baseline the ANN path's recall is measured against."""
+    baseline the ANN path's recall is measured against.  spread() on the
+    corpus side only: the scoring HOFs are the whole cost and the one-row-
+    group scan would run them single-threaded; the query side stays an
+    unspread scan so its vec_id filter pushes down."""
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("embedding").alias("qv")
     )
     cos = _SPARK_COS.format(a="embedding", b="qv")
     return (
-        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        spread(emb).filter(F.col("vec_id") != _QUERY_VEC_ID)
         .join(F.broadcast(query))
         .withColumn("cos_sim", F.round(F.expr(cos), 4))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
@@ -120,7 +123,7 @@ def sim_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, table, bucket) index — the build side of the ANN path.
     Pure projection, embarrassingly parallel; written partitioned by
     (table, bucket) at scale so probes are partition-pruned."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     return _with_table_buckets(emb, "embedding").select("vec_id", "table", "bucket")
 
 
@@ -159,7 +162,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     that makes probes PARTITION-PRUNED scans: a probe touches L directories
     out of L·2^k, never the full index.  Embeddings ride along so the rerank
     needs no second lookup."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     idx = _with_table_buckets(emb, "embedding").select(
         "table", "bucket", "vec_id", "embedding"
     )
@@ -288,9 +291,17 @@ def sim_ann_lsh(
         f"(cast({t} as bigint) * {1 << LSH_BITS_PER_TABLE} + ({e}))"
         for t, e in enumerate(_table_bucket_exprs("embedding"))
     ))
-    with_codes = emb.select("vec_id", "embedding", F.expr(codes).alias("bc"))
+    # corpus side spread: the L·k dot-product HOFs per row are the whole
+    # cost of this query, and the one-row-group scan would evaluate them
+    # on a single core; the query side is built from an UNspread scan so
+    # its vec_id pushdown reads one row-group slice, not a shuffle
+    with_codes = spread(emb).select(
+        "vec_id", "embedding", F.expr(codes).alias("bc")
+    )
     qcols = [F.col("bc").alias("qbc"), F.col("embedding").alias("qv")]
-    q = with_codes.filter(F.col("vec_id") == _QUERY_VEC_ID).select(*qcols)
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.expr(codes).alias("bc"), "embedding"
+    ).select(*qcols)
     if hamming >= 1:
         # flip each of the k low (bucket) bits per code; the table id lives
         # in the high bits, so XOR with < 2^k never crosses tables

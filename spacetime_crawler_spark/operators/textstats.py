@@ -13,7 +13,7 @@ from spacetime_crawler_spark.functions.tokenize import (
     TOKEN_SPLIT_REGEX,
     sql_stopword_list,
 )
-from spacetime_crawler_spark.sources.tables import load_table
+from spacetime_crawler_spark.sources.tables import load_table, spread
 
 _SPARK_TOKENS = f"filter(split(lower(text), '{TOKEN_SPLIT_REGEX}'), x -> x != '')"
 _DUCK_TOKENS = (
@@ -108,7 +108,9 @@ FROM m
 # --- corpus token statistics ----------------------------------------------------
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the tokenize feeding the per-lang aggregate is the whole cost
+    # (sums are over integers — exact under any re-partitioning)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("lang", F.expr(f"size({_SPARK_TOKENS})").alias("n_tok"))
         .groupBy("lang")
@@ -488,8 +490,9 @@ def text_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries one row per DISTINCT bigram, not per occurrence).  Bigrams are
     built JVM-side with a HOF over the shared tokenizer (element_at is
     1-based; the size<2 guard matters because Spark's sequence(1, 0) is
-    DESCENDING, not empty)."""
-    docs = load_table(spark, sf_dir, "documents")
+    DESCENDING, not empty).  spread(): the tokenize+explode+partial-agg
+    stage is the whole cost — parallelize it past the one-row-group scan."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.expr(_SPARK_TOKENS).alias("t"))
         .select(F.explode(F.expr(_SPARK_BIGRAMS)).alias("bigram"))
@@ -537,53 +540,58 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction, and the fraction of bigram occurrences taken by the doc's most
     frequent bigram, plus a thresholded `repetitive` flag.
 
-    Plan shape for 100 TB: the word/5-gram fractions are pure column
-    expressions (array_distinct over the doc's own token array — map-only,
-    no shuffle).  The top-bigram mode genuinely needs an aggregate, so the
-    map-only signals ride THROUGH it as grouping columns (functionally
-    dependent on doc_id — cardinality unchanged) instead of a second scan +
-    join: one explode, one partial+final hash agg per (doc, bigram), one
-    final per-doc agg; the shuffle carries short bigram strings and three
-    numerics, never text.  explode_outer + count(bigram) keeps docs with <2
-    tokens in the output with top_bigram_frac = 0."""
-    docs = load_table(spark, sf_dir, "documents")
-    # The signal expressions and the bigram ARRAY are materialized in a
-    # projection BELOW the explode, so Generate passes them through as
-    # plain attributes — one evaluation per DOC.  Putting explode_outer in
-    # the same select as the signals plans as Generate + post-Generate
-    # Project, re-evaluating every array_distinct once per BIGRAM ROW
-    # (measured 17 s instead of <1 s at sf0.1: quadratic per doc).
-    sig = docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("t")).select(
-        "doc_id",
-        F.expr("cast(size(t) as int)").alias("n_tokens"),
-        F.expr(
-            "case when size(t) = 0 then 0.0 else"
-            " round(1 - size(array_distinct(t)) / size(t), 4) end"
-        ).alias("dup_word_frac"),
-        F.expr(
-            "case when size(t) < 5 then 0.0 else"
-            f" round(1 - size(array_distinct({_SPARK_5GRAMS}))"
-            " / (size(t) - 4), 4) end"
-        ).alias("dup_5gram_frac"),
-        F.expr(_SPARK_BIGRAMS).alias("bg"),
-    )
-    per_tok = sig.select(
-        "doc_id",
-        "n_tokens",
-        "dup_word_frac",
-        "dup_5gram_frac",
-        F.explode_outer("bg").alias("bigram"),
-    )
+    Plan shape for 100 TB: ALL FOUR signals are pure column expressions —
+    including the top-bigram mode, computed per doc as the longest equal
+    run of the SORTED bigram array (sort + one fold, O(b log b) on the
+    doc's own array).  r5 shipped the mode through an explode + two hash
+    aggregates keyed per (doc, bigram); the corpus-scale shuffle carried
+    one row per bigram OCCURRENCE for a value that only ever depends on
+    one document's rows (measured 3.8 s → the scan floor at sf1.0, plan:
+    3 Exchange → 1).  The remaining exchange is the output ORDER BY."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # The signal expressions are all computed in one projection over the
+    # tokens column `t` (materialized by the projection below them, so the
+    # tokenize runs once per doc).  max-run fold: over the sorted bigram
+    # array, equal bigrams are adjacent, so the mode's count is the longest
+    # run of consecutive equal elements — acc carries (previous element,
+    # current run, best run).
+    _MAX_RUN = """
+      aggregate(
+        array_sort(bg),
+        named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+        (acc, x) -> named_struct(
+          'prev', x,
+          'run', if(acc.prev <=> x, acc.run + 1L, 1L),
+          'best', greatest(acc.best,
+                           if(acc.prev <=> x, acc.run + 1L, 1L))),
+        acc -> acc.best
+      )
+    """
     return (
-        per_tok.groupBy(
-            "doc_id", "n_tokens", "dup_word_frac", "dup_5gram_frac", "bigram"
+        docs.select("doc_id", F.expr(_SPARK_TOKENS).alias("t"))
+        .select(
+            "doc_id",
+            F.expr("cast(size(t) as int)").alias("n_tokens"),
+            F.expr(
+                "case when size(t) = 0 then 0.0 else"
+                " round(1 - size(array_distinct(t)) / size(t), 4) end"
+            ).alias("dup_word_frac"),
+            F.expr(
+                "case when size(t) < 5 then 0.0 else"
+                f" round(1 - size(array_distinct({_SPARK_5GRAMS}))"
+                " / (size(t) - 4), 4) end"
+            ).alias("dup_5gram_frac"),
+            F.expr(_SPARK_BIGRAMS).alias("bg"),
         )
-        .agg(F.count("bigram").alias("c"))
-        .groupBy("doc_id", "n_tokens", "dup_word_frac", "dup_5gram_frac")
-        .agg(
-            F.round(
-                F.max("c") / F.greatest(F.sum("c"), F.lit(1)), 4
-            ).alias("top_bigram_frac")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_word_frac",
+            "dup_5gram_frac",
+            F.expr(
+                "case when size(bg) = 0 then 0.0 else"
+                f" round({_MAX_RUN} / size(bg), 4) end"
+            ).alias("top_bigram_frac"),
         )
         .withColumn(
             "repetitive",
@@ -643,8 +651,10 @@ def source_quality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     never drift from document filtering).  The C4-style 'drop low-quality
     domains wholesale' primitive: one map-only projection then a hash
     aggregate keyed by source — at 100 TB the shuffle carries one row per
-    source, not per doc."""
-    docs = load_table(spark, sf_dir, "documents")
+    source, not per doc.  spread: the three tokenize-heavy signal exprs
+    feed the aggregate, and the one-row-group scan would evaluate them
+    single-threaded (int sums → exact under any re-partitioning)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sig = docs.select(
         "source",
         F.expr(SPARK_N_TOKENS).alias("n_tokens"),

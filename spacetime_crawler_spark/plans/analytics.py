@@ -26,7 +26,7 @@ from spacetime_crawler_spark.functions.tokenize import (
     TOKEN_SPLIT_REGEX,
     sql_stopword_list,
 )
-from spacetime_crawler_spark.sources.tables import load_table
+from spacetime_crawler_spark.sources.tables import load_table, spread
 
 # Shared sub-expressions -----------------------------------------------------
 
@@ -76,7 +76,8 @@ A2_SQL = (
 # A3 — longest page (argmax words) --------------------------------------------
 
 def a3_longest_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the tokenize feeding the ranking window is the whole cost
+    docs = spread(load_table(spark, sf_dir, "documents"))
     with_n = docs.select(
         "doc_id", F.expr(f"size({_SPARK_TOKENS})").alias("n_words")
     )
@@ -104,7 +105,9 @@ SELECT doc_id, n_words FROM (
 # A4 — common words (top-50 excl. stopwords) — the flagship query -------------
 
 def a4_common_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: tokenize+explode+partial-agg is the whole cost; the driver
+    # testdata's one-row-group parquet otherwise runs it on a single core
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(F.expr(_SPARK_TOKENS)).alias("word"))
         .filter(~F.col("word").isin(*STOPWORDS))
@@ -145,12 +148,29 @@ FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 # A6 — host link graph (3-way equi-join + agg) --------------------------------
 
 def a6_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 shape (guide §3.1 'pick the join strategy deliberately'): the
+    customer broadcast moves BELOW the big join, so the orderkey exchange
+    carries a two-column (o_orderkey, c_mktsegment) projection of orders
+    instead of orders' full width, and the orderkey join takes a
+    shuffled-hash build on that narrow orders side — neither 10^6-row
+    side is sorted (SortMergeJoin → ShuffledHashJoin; measured 1.37 s →
+    0.98 s min-of-3 at sf1.0).  A lineitem pre-aggregation by (orderkey,
+    returnflag) was tried and REJECTED: ~3.5M distinct groups out of 6M
+    rows means the extra hash-aggregate pass costs more than the ~40%
+    exchange-row saving (measured 1.67 s), and broadcasting the 1.5M-row
+    orders projection was also slower (1.6 s — the broadcast build
+    serializes on the driver)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    orders_seg = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "c_mktsegment")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(
+            orders_seg.hint("shuffle_hash"),
+            li.l_orderkey == orders_seg.o_orderkey,
+        )
         .groupBy(
             F.col("c_mktsegment").alias("src"),
             F.col("l_returnflag").alias("dst"),
@@ -196,7 +216,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = (
         li.select("l_orderkey", "l_suppkey")
-        .join(orders.select("o_orderkey", "o_custkey"),
+        # shuffled-hash build on the narrow orders projection — same
+        # strategy pick as a6 (no sort of either million-row side)
+        .join(orders.select("o_orderkey", "o_custkey").hint("shuffle_hash"),
               li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
               orders.o_custkey == cust.c_custkey)

@@ -95,5 +95,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
+def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition to the session's parallelism — ONLY when the
+    source layout caps scan parallelism below it (guide §2.5 'input skew /
+    unsplittable file').  The driver testdata writes each table as ONE
+    parquet row group, so a scan is 1 task no matter how many byte-range
+    splits Spark makes (a task emits only row groups whose midpoint falls
+    in its range): every tokenize/HOF-heavy stage fused with such a scan
+    runs single-threaded on a 32-core master.  The narrow repartition
+    (~MBs, one upstream task) unlocks the other 31 cores; on a properly
+    laid-out multi-file/multi-row-group table the condition is false and
+    this is a no-op, so no extra exchange ever appears at scale."""
+    spark = df.sparkSession
+    if target is None:
+        target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
