@@ -96,7 +96,7 @@ def multimodal_fake_features_array(spark: SparkSession, sf_dir: str) -> DataFram
     # testdata scan would feed a SINGLE Python worker; the repartition fans
     # the Arrow batches across all cores' workers.  (multimodal_binary_meta
     # deliberately stays unspread — it is native map-only codegen.)
-    payloads = spread(_with_payload(spark, sf_dir))
+    payloads = spread(_with_payload(spark, sf_dir), min_bytes=0)
 
     def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -46,7 +46,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = _SPARK_COS.format(a="embedding", b="qv")
     return (
-        spread(emb).filter(F.col("vec_id") != _QUERY_VEC_ID)
+        spread(emb, min_bytes=0).filter(F.col("vec_id") != _QUERY_VEC_ID)
         .join(F.broadcast(query))
         .withColumn("cos_sim", F.round(F.expr(cos), 4))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
@@ -123,7 +123,7 @@ def sim_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, table, bucket) index — the build side of the ANN path.
     Pure projection, embarrassingly parallel; written partitioned by
     (table, bucket) at scale so probes are partition-pruned."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"), min_bytes=0)
     return _with_table_buckets(emb, "embedding").select("vec_id", "table", "bucket")
 
 
@@ -162,7 +162,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     that makes probes PARTITION-PRUNED scans: a probe touches L directories
     out of L·2^k, never the full index.  Embeddings ride along so the rerank
     needs no second lookup."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"), min_bytes=0)
     idx = _with_table_buckets(emb, "embedding").select(
         "table", "bucket", "vec_id", "embedding"
     )
@@ -295,7 +295,7 @@ def sim_ann_lsh(
     # cost of this query, and the one-row-group scan would evaluate them
     # on a single core; the query side is built from an UNspread scan so
     # its vec_id pushdown reads one row-group slice, not a shuffle
-    with_codes = spread(emb).select(
+    with_codes = spread(emb, min_bytes=0).select(
         "vec_id", "embedding", F.expr(codes).alias("bc")
     )
     qcols = [F.col("bc").alias("qbc"), F.col("embedding").alias("qv")]

@@ -95,7 +95,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
-def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+SPREAD_MIN_BYTES = 2 << 20  # see spread() — measured crossover at sf0.1/sf1.0
+
+
+def spread(
+    df: DataFrame, target: int | None = None, min_bytes: int = SPREAD_MIN_BYTES
+) -> DataFrame:
     """Round-robin repartition to the session's parallelism — ONLY when the
     source layout caps scan parallelism below it (guide §2.5 'input skew /
     unsplittable file').  The driver testdata writes each table as ONE
@@ -105,13 +110,36 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     runs single-threaded on a 32-core master.  The narrow repartition
     (~MBs, one upstream task) unlocks the other 31 cores; on a properly
     laid-out multi-file/multi-row-group table the condition is false and
-    this is a no-op, so no extra exchange ever appears at scale."""
+    this is a no-op, so no extra exchange ever appears at scale.
+
+    min_bytes gates the exchange by estimated input size: below it the
+    serial work saved is smaller than the extra stage + exchange cost
+    (measured at sf0.1: ~0.25 s overhead vs ~0.1 s of serial tokenize —
+    a4/bigrams/span_stats each ~2× slower spread than not; at sf1.0 the
+    same queries are 1.4–3× faster spread).  Callers whose per-byte work
+    is extreme (L·k hyperplane dot products, per-row Python) pass
+    min_bytes=0 — for those even sub-MB inputs win (sim_ann_multiprobe
+    at sf0.1: 1.03 s → 0.68 s)."""
     spark = df.sparkSession
     if target is None:
         target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if min_bytes:
+        try:
+            size = int(
+                str(
+                    df._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+        except Exception:
+            size = min_bytes  # unknown size: err toward parallelism
+        if size < min_bytes:
+            return df
+    return df.repartition(target)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
