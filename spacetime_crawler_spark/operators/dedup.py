@@ -143,8 +143,18 @@ def _finalize(result: DataFrame, persists: list[DataFrame]) -> DataFrame:
     in a long-lived session (driver harness, bench, composites) permanently
     pins the shingle/index caches.  Registry-facing wrappers use this;
     callers that want the lazy plan call the *_pairs functions directly
-    (optionally passing their own cleanup list)."""
-    out = result.localCheckpoint(eager=True)
+    (optionally passing their own cleanup list).
+
+    coalesce(1) before the checkpoint: the result is tiny by contract
+    (pairs above threshold / one row per language), so materializing one
+    block instead of shuffle_partitions mostly-empty blocks removes both
+    block-manager churn in the eager job and per-partition task overhead
+    in every downstream action (r6 guide §1 measurement: first-trial
+    6.5 s → 1.6 s on dedup_ngram_jaccard in a cold session, identical
+    min-of-4 and identical rows; a full no-persist lazy variant was tried
+    and REJECTED — recomputing the shingle subtree per consumer measured
+    8–10 s, see OPTIMIZATION_r06.md)."""
+    out = result.coalesce(1).localCheckpoint(eager=True)
     for df in persists:
         df.unpersist(blocking=False)
     return out
