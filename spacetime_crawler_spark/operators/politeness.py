@@ -40,7 +40,19 @@ SCHEDULE_SCHEMA = (
 def build_robots_rules(pages: DataFrame) -> DataFrame:
     """pages rows at path /robots.txt → robots_rules(host, crawl_delay,
     rules).  Latest capture wins; one row per host; small by construction
-    (≤ #hosts) so downstream use is a broadcast join."""
+    (≤ #hosts) so downstream use is a broadcast join.
+
+    When the pages source carries the writer's `is_robots` partition
+    column (sources/synth.py::write_pages_parquet), the filter is pruned
+    to the robots partitions — the scan touches ~#hosts rows instead of
+    decompressing every page's html (guide §6; measured ≈30 s → <2 s at
+    4 cores on the 2M-page bench world).  The parse_url predicate is
+    KEPT on top in both branches: is_robots is derived from exactly this
+    expression at write time, so results are identical whether or not
+    the source has the column (in-memory pages, WARC ingest, and
+    pre-existing cached worlds take the unpruned branch)."""
+    if "is_robots" in pages.columns:
+        pages = pages.filter(F.col("is_robots") == 1)
     robots = pages.filter(F.parse_url("url", F.lit("PATH")) == "/robots.txt")
     latest = (
         robots.withColumn("host", F.lower(F.parse_url("url", F.lit("HOST"))))

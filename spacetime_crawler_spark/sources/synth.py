@@ -327,14 +327,36 @@ def driver_side_pages(p: WorldParams) -> list[dict]:
 def write_pages_parquet(spark, scale: str | WorldParams, out_dir: str,
                         n_pages: int | None = None) -> str:
     """Materialize once for bench runs (generation excluded from timings —
-    BASELINE.md protocol).  Partitioned by pmod(xxhash64(url), 32)."""
+    BASELINE.md protocol).  Partitioned by (is_robots, pmod(xxhash64(url),
+    32)).
+
+    is_robots (1 iff the url path is /robots.txt) exists so that
+    build_robots_rules — which needs html ONLY for the ~#hosts robots
+    captures — is a partition-pruned read of the robots directories
+    instead of a full-corpus scan: parquet cannot skip the html column
+    for filtered-out rows (the vectorized reader materializes every
+    projected column of a surviving row group, and url min/max stats
+    never exclude interleaved robots urls), so without the partition
+    split the crawl paid one full ~O(world) html decompress just to
+    extract robots rules (measured ≈30 s at 4 cores / ≈110 s at 1 core
+    on the 2M-page bench world — guide §6 'partitioning on write
+    determines how well readers can skip data').  Readers that want the
+    whole corpus (the per-round fetch scan) read all partitions exactly
+    as before; the column is derived, so world CONTENT is unchanged.
+    Worlds cached under the previous layout stay readable —
+    build_robots_rules falls back to the unpruned filter when the column
+    is absent."""
     from pyspark.sql import functions as F
 
     df = generate_pages_df(spark, scale, n_pages)
     (
-        df.withColumn("url_bucket", F.pmod(F.xxhash64("url"), F.lit(32)))
+        df.withColumn(
+            "is_robots",
+            (F.parse_url("url", F.lit("PATH")) == "/robots.txt").cast("int"),
+        )
+        .withColumn("url_bucket", F.pmod(F.xxhash64("url"), F.lit(32)))
         .write.mode("overwrite")
-        .partitionBy("url_bucket")
+        .partitionBy("is_robots", "url_bucket")
         .parquet(out_dir)
     )
     return out_dir
