@@ -588,11 +588,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold over a bounded id
     range (the exact verify path; LSH bucketing in similarity.py is the
     candidate generator at scale).  Join is a self range-join on vec_id with
-    the small side broadcast."""
+    the small side broadcast.  spread(min_bytes=0) on the PROBE side only
+    (same policy as the similarity paths — extreme per-byte work): the
+    nested-loop probe evaluates |a|·|b|/2 triple-HOF cosines, and the
+    one-row-group scan would run them all on a single core (measured
+    2.58 s → 0.52 s min-of-2 at sf0.1); the broadcast side stays an
+    unspread scan so its vec_id filter pushes down."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < _COSINE_DOC_LIMIT
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    a = spread(emb, min_bytes=0).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = _SPARK_COS.format(a="ea", b="eb")
     return (

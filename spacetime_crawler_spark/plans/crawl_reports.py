@@ -138,8 +138,17 @@ def pagerank(
     (deterministic), each step a keyed join + aggregate, per-step
     localCheckpoint so the plan stays O(1) deep, dangling mass redistributed
     uniformly (the standard correction — rank mass is conserved, asserted in
-    tests against a pure-Python oracle).  One scalar collect per iteration
-    (the dangling mass); everything else stays distributed."""
+    tests against a pure-Python oracle).
+
+    r6 (guide §5 'the driver should do almost no data work' + §1.2 job
+    count): the per-iteration dangling-mass scalar is no longer a blocking
+    driver collect — the 1-row dangling aggregate rides the iteration's
+    one materializing job as a broadcast-joined scalar, halving the
+    sequential per-iteration job count (2 → 1; same-session A/B on
+    graph_pagerank at sf0.1: 5.57 → 5.08 s min-of-3, bit-identical
+    ranks — the win is bounded here by the 25-node graph's fixed
+    stage latency, and grows with the per-job cost of a real cluster's
+    driver round-trips)."""
     edges = edges.select("src", "dst").persist()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     nodes = nodes.select("node").distinct().localCheckpoint(eager=True)
@@ -148,11 +157,10 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(iters):
-        with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left")
-        dangling = (
-            with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        dangling_df = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left")
+            .filter(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
         )
         contribs = (
             edges.join(ranks, edges.src == ranks.node)
@@ -165,13 +173,20 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum(F.col("src_rank") / F.col("out_deg")).alias("contrib"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        # same FP evaluation order as the former driver-side
+        # `base = (1-d)/n + d*dangling/n` followed by `base + d*contrib`
         new_ranks = (
             nodes.join(contribs, "node", "left")
+            .join(F.broadcast(dangling_df))
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0)))
-                .alias("rank"),
+                (
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.col("dangling") / F.lit(float(n))
+                    )
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
